@@ -1,0 +1,200 @@
+"""Combinatorial-auction instance generation and IO.
+
+Re-implements the semantics of the reference's Leyton-Brown "arbitrary"
+CA sampler (LinerProgramming/LinearProgramming/generate_data/
+generate_instances.py:137-359): item resale values, pairwise
+compatibilities, bidder bundles grown by interest-weighted sampling,
+substitutable XOR bids tied together with dummy items, and the
+set-packing LP
+
+    max  price . x   s.t.  (each item in at most one accepted bid)
+
+which the solver consumes in minimization form (b := -price, E x <= 1;
+reference readFile negates b at LPboxADMMsolver.cpp:2520, f = 1 at :2522).
+
+Also provides the reference's on-disk instance format
+(``instance_{i}_b.txt`` dense, ``instance_{i}_C.txt`` 1-indexed COO
+triplets; reference :2407-2444) for interop, and batching into the
+framework's dense padded ``LpProblem``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.problem import LpProblem, stack_lp_instances
+
+
+def generate_cauction(
+    rng: np.random.RandomState,
+    n_items: int = 100,
+    n_bids: int = 500,
+    min_value: float = 1,
+    max_value: float = 100,
+    value_deviation: float = 0.5,
+    add_item_prob: float = 0.7,
+    max_n_sub_bids: int = 5,
+    additivity: float = 0.2,
+    budget_factor: float = 1.5,
+    resale_factor: float = 0.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample one CA instance.
+
+    Returns ``(prices, C)`` where ``prices`` is (n_bids,) bundle prices
+    and ``C`` is the dense 0/1 item-bid incidence matrix of shape
+    (n_items + n_dummy, n_bids) with empty rows dropped (the reference's
+    COO writer skips empty items, generate_instances.py:352-357).
+
+    The reference driver uses ``add_item_prob=0.7`` (:392).
+    """
+    values = min_value + (max_value - min_value) * rng.rand(n_items)
+    compats = np.triu(rng.rand(n_items, n_items), k=1)
+    compats = compats + compats.T
+    compats = compats / compats.sum(1)
+
+    def choose_next_item(bundle_mask, interests):
+        prob = (1 - bundle_mask) * interests \
+            * compats[bundle_mask.astype(bool), :].mean(axis=0)
+        prob = prob / prob.sum()
+        return rng.choice(n_items, p=prob)
+
+    bids: List[Tuple[List[int], float]] = []
+    n_dummy = 0
+    while len(bids) < n_bids:
+        private_interests = rng.rand(n_items)
+        private_values = values + max_value * value_deviation \
+            * (2 * private_interests - 1)
+
+        bidder_bids = {}
+        prob = private_interests / private_interests.sum()
+        item = rng.choice(n_items, p=prob)
+        bundle_mask = np.zeros(n_items)
+        bundle_mask[item] = 1
+        while rng.rand() < add_item_prob:
+            if bundle_mask.sum() == n_items:
+                break
+            item = choose_next_item(bundle_mask, private_interests)
+            bundle_mask[item] = 1
+        bundle = np.nonzero(bundle_mask)[0]
+        price = private_values[bundle].sum() + len(bundle) ** (1 + additivity)
+        if price < 0:
+            continue
+        bidder_bids[frozenset(bundle)] = price
+
+        sub_candidates = []
+        for item in bundle:
+            sub_mask = np.zeros(n_items)
+            sub_mask[item] = 1
+            while sub_mask.sum() < len(bundle):
+                it2 = choose_next_item(sub_mask, private_interests)
+                sub_mask[it2] = 1
+            sub_bundle = np.nonzero(sub_mask)[0]
+            sub_price = private_values[sub_bundle].sum() \
+                + len(sub_bundle) ** (1 + additivity)
+            sub_candidates.append((sub_bundle, sub_price))
+
+        budget = budget_factor * price
+        min_resale = resale_factor * values[bundle].sum()
+        order = np.argsort([-p for _, p in sub_candidates])
+        for bi in order:
+            sub_bundle, sub_price = sub_candidates[bi]
+            if (len(bidder_bids) >= max_n_sub_bids + 1
+                    or len(bids) + len(bidder_bids) >= n_bids):
+                break
+            if sub_price < 0 or sub_price > budget:
+                continue
+            if values[sub_bundle].sum() < min_resale:
+                continue
+            if frozenset(sub_bundle) in bidder_bids:
+                continue
+            bidder_bids[frozenset(sub_bundle)] = sub_price
+
+        if len(bidder_bids) > 2:
+            dummy = [n_items + n_dummy]
+            n_dummy += 1
+        else:
+            dummy = []
+        for bundle_fs, price_v in bidder_bids.items():
+            bids.append((list(bundle_fs) + dummy, price_v))
+
+    prices = np.array([p for _, p in bids])
+    C = np.zeros((n_items + n_dummy, len(bids)))
+    for j, (bundle, _) in enumerate(bids):
+        for item in bundle:
+            C[item, j] = 1.0
+    keep = C.sum(axis=1) > 0
+    return prices, C[keep]
+
+
+def write_instance(path_prefix: str, prices: np.ndarray, C: np.ndarray):
+    """Write the reference's text formats: ``{prefix}_b.txt`` (one price
+    per line) and ``{prefix}_C.txt`` (1-indexed ``row,col,val`` COO)."""
+    with open(path_prefix + "_b.txt", "w") as fb:
+        for p in prices:
+            fb.write(f"{p}\n")
+    rows, cols = np.nonzero(C)
+    with open(path_prefix + "_C.txt", "w") as fc:
+        for r, c in zip(rows, cols):
+            fc.write(f"{r + 1},{c + 1},{int(C[r, c])}\n")
+
+
+def read_instance(path_prefix: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read ``{prefix}_b.txt`` / ``{prefix}_C.txt`` (reference readFile,
+    LPboxADMMsolver.cpp:2407-2545).  Prefers the fast native reader
+    (runtime/io) when it is built, falling back to pure Python."""
+    try:
+        from ..runtime import io as native_io
+        b = native_io.read_dense_vec(path_prefix + "_b.txt")
+        rows, cols, vals = native_io.read_coo(path_prefix + "_C.txt")
+    except Exception:
+        b = np.loadtxt(path_prefix + "_b.txt", dtype=np.float64, ndmin=1)
+        coo = np.loadtxt(path_prefix + "_C.txt", delimiter=",",
+                         dtype=np.float64, ndmin=2)
+        rows, cols, vals = (coo[:, 0].astype(int), coo[:, 1].astype(int),
+                            coo[:, 2])
+    m = int(rows.max())
+    n = int(cols.max())
+    C = np.zeros((m, n))
+    C[rows - 1, cols - 1] = vals
+    return b, C
+
+
+def make_problem(
+    instances: Sequence[Tuple[np.ndarray, np.ndarray]],
+    n_pad: Optional[int] = None,
+    m_pad: Optional[int] = None,
+) -> LpProblem:
+    """Batch CA instances into a padded LpProblem in minimization form:
+    b = -prices (:2520), E = C, f = 1 (:2522)."""
+    bs = [-np.asarray(p, dtype=np.float64) for p, _ in instances]
+    Es = [np.asarray(C, dtype=np.float64) for _, C in instances]
+    return stack_lp_instances(bs, Es, n_pad=n_pad, m_pad=m_pad)
+
+
+def generate_batch(seed: int, count: int, n_items: int = 100,
+                   n_bids: int = 500, **kw) -> LpProblem:
+    """Generate ``count`` seeded instances and batch them."""
+    rng = np.random.RandomState(seed)
+    insts = [generate_cauction(rng, n_items=n_items, n_bids=n_bids, **kw)
+             for _ in range(count)]
+    return make_problem(insts)
+
+
+def generate_dataset(root: str, seed: int, count: int, n_items: int = 100,
+                     n_bids: int = 500, **kw) -> List[str]:
+    """Generate and persist instances in the reference's directory layout
+    ``{root}/instance/{n_items}_{n_bids}/instance_{i}_{b,C}.txt``."""
+    out_dir = os.path.join(root, "instance", f"{n_items}_{n_bids}")
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    prefixes = []
+    for i in range(count):
+        prices, C = generate_cauction(rng, n_items=n_items, n_bids=n_bids,
+                                      **kw)
+        prefix = os.path.join(out_dir, f"instance_{i + 1}")
+        write_instance(prefix, prices, C)
+        prefixes.append(prefix)
+    return prefixes

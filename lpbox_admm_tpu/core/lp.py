@@ -1,0 +1,401 @@
+"""Batched Lp-Box ADMM for binary LPs (combinatorial auctions et al.).
+
+TPU-native re-design of the reference's LP solver
+(LinerProgramming/LinearProgramming/cython_solver/LPboxADMMsolver.cpp):
+
+* ``init_state``        ~ ADMM_lp_iters_init        (:489-763)
+* ``step``              ~ one iteration of ADMM_lp_iters / _l2f  (:796-1068, :1341-1564)
+* ``solve_window``      ~ ADMM_lp_iters_l2f window  (:1098-1574) incl. trajectory capture
+* ``apply_fix``         ~ the early-fix problem reduction (:1124-1335)
+* ``rule_fix_mask``     ~ the rule-based fixing counters of ADMM_lp_iters_fix (:1856-1950)
+* ``solution`` / ``objective`` / ``infeasible_rows``
+                        ~ get_x_sol (:1648), cal_obj (:1630), check_infeasible_l2f (:1593)
+
+Key design deltas (SURVEY.md section 7): the instance batch is the leading
+axis of every array; early fixing keeps **static shapes** via a ``free``
+mask + ``fixed_val`` vector instead of physically rebuilding E1/f1/b1 --
+fixed columns are zeroed out of every matvec and their objective/rhs
+contributions are folded in with masked reductions (mathematically
+identical to the reference's shrink, see derivation in apply_fix).  All
+control flow is ``lax.scan``/``lax.while_loop`` with per-instance ``done``
+freezing, so a batch of heterogeneous instances runs as one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+from ..ops import cg as cg_ops
+from ..ops import woodbury
+from ..ops.projections import project_box, project_shifted_lp_ball, project_nonneg
+from ..ops.schedule import rho_at, gamma_at
+from ..ops.stats import dual_residuals, rel_std_obj
+from .problem import LpProblem
+
+_EPS = 2.2204e-16
+
+
+class LpState(NamedTuple):
+    # ADMM variables
+    x: jnp.ndarray            # (B, n) relaxed iterate
+    y1: jnp.ndarray           # (B, n) box copy
+    y2: jnp.ndarray           # (B, n) sphere copy
+    y3: jnp.ndarray           # (B, m) slack copy
+    z1: jnp.ndarray           # (B, n) dual for y1
+    z2: jnp.ndarray           # (B, n) dual for y2
+    z4: jnp.ndarray           # (B, m) dual for inequality
+    # Early fixing (mask-based problem reduction)
+    free: jnp.ndarray         # (B, n) bool: not yet fixed
+    fixed_val: jnp.ndarray    # (B, n) value of fixed vars (0/1), 0 elsewhere
+    f_eff: jnp.ndarray        # (B, m) f - E @ (fixed contribution)
+    sum_fix_obj: jnp.ndarray  # (B,) accumulated objective of fixed vars
+    # Convergence machinery
+    obj_ring: jnp.ndarray     # (B, H) objective history ring
+    obj_count: jnp.ndarray    # (B,) number of objectives pushed
+    it: jnp.ndarray           # () global iteration counter
+    done: jnp.ndarray         # (B,) bool
+    cg_fail: jnp.ndarray      # (B,) bool: CG lost positive definiteness
+    # Incumbent tracking
+    cur_obj: jnp.ndarray      # (B,) binary objective of current rounding
+    best_bin_obj: jnp.ndarray # (B,)
+    best_sol: jnp.ndarray     # (B, n)
+    # Rule-based fixing counters
+    x_prev: jnp.ndarray       # (B, n)
+    fix_count: jnp.ndarray    # (B, n) int32 consistency counters
+    # Woodbury factor (zeros-shaped placeholder when linsolve == "cg")
+    chol: jnp.ndarray         # (B, m, m)
+
+
+def _wb_ratio(cfg: SolverConfig) -> float:
+    # (rho1 + rho2) / rho4; constant because the LP preset shares one
+    # schedule across all rho's (LPboxADMMsolver.cpp:951-966).
+    return 2.0
+
+
+def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
+    """Initial state: x=1, z=0, y3 = f - E x (reference :550-727)."""
+    B, n, m = prob.batch, prob.n, prob.m
+    dt = prob.b.dtype
+    free = prob.var_mask
+    free_f = free.astype(dt)
+    x = free_f * 1.0                      # x0 = 1 on valid vars (:583-586)
+    zeros_n = jnp.zeros((B, n), dt)
+    z4 = jnp.zeros((B, m), dt)
+    ex = jnp.einsum("bmn,bn->bm", prob.E, x, preferred_element_type=jnp.float32)
+    y3 = prob.f - ex                      # (:720)
+    cur_obj = jnp.sum(prob.b * x, axis=-1)  # best_bin_obj = b.x0 (:727)
+    if cfg.linsolve == "woodbury":
+        chol = woodbury.factorize(prob.E, free, _wb_ratio(cfg)).chol
+    else:
+        chol = jnp.zeros((B, 1, 1), dt)
+    return LpState(
+        x=x, y1=x, y2=x, y3=y3, z1=zeros_n, z2=zeros_n, z4=z4,
+        free=free, fixed_val=jnp.zeros((B, n), dt), f_eff=prob.f,
+        sum_fix_obj=jnp.zeros((B,), dt),
+        obj_ring=jnp.zeros((B, cfg.history_size), dt),
+        obj_count=jnp.zeros((B,), jnp.int32),
+        it=jnp.int32(0),
+        done=jnp.zeros((B,), bool),
+        cg_fail=jnp.zeros((B,), bool),
+        cur_obj=cur_obj, best_bin_obj=cur_obj, best_sol=x,
+        x_prev=jnp.zeros((B, n), dt),
+        fix_count=jnp.zeros((B, n), jnp.int32),
+        chol=chol,
+    )
+
+
+def _esq_diag(E: jnp.ndarray, free: jnp.ndarray) -> jnp.ndarray:
+    """diag(E_f^T E_f): per-column squared norms over free columns."""
+    d = jnp.sum(E * E, axis=1)
+    return d * free.astype(E.dtype)
+
+
+def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
+         skip_cvg_at: Optional[int] = None,
+         rule_fixing: bool = False) -> LpState:
+    """One ADMM iteration over the whole batch (reference :796-1068).
+
+    ``skip_cvg_at``: global iteration at which the y1/y2 stop is not
+    checked (the plain solver skips its very first iteration,
+    ``iter != iter_start`` at :934).  ``rule_fixing`` also updates the
+    |x - x_prev| consistency counters of ADMM_lp_iters_fix (:1856-1871);
+    the caller decides when to turn counters into fixes.
+    """
+    dt = state.x.dtype
+    it = state.it
+    active = ~state.done
+    act_n = active[:, None]
+    free_f = state.free.astype(dt)
+
+    rho1 = rho_at(it, cfg)
+    rho2 = rho1
+    rho4 = rho1
+    gamma = gamma_at(it, cfg)
+
+    # --- y updates -------------------------------------------------------
+    y1 = project_box(state.x + state.z1 / rho1)                     # :806-809
+    y2 = project_shifted_lp_ball(state.x + state.z2 / rho2,
+                                 cfg.projection_lp, mask=state.free)  # :815-818
+    ex = jnp.einsum("bmn,bn->bm", prob.E, free_f * state.x,
+                    preferred_element_type=jnp.float32)
+    y3 = project_nonneg(state.f_eff - ex - state.z4 / rho4)         # :824-828
+
+    # --- x update (PCG or Woodbury) -------------------------------------
+    # rhs = rho1 y1 + rho2 y2 - (b + z1 + z2) + E^T(rho4 (f_eff - y3) - z4)
+    #                                                                :872-878
+    et_term = jnp.einsum("bmn,bm->bn", prob.E,
+                         rho4 * (state.f_eff - y3) - state.z4,
+                         preferred_element_type=jnp.float32)
+    rhs = free_f * (rho1 * y1 + rho2 * y2
+                    - (prob.b + state.z1 + state.z2) + et_term)
+    x0 = free_f * y1                                                # :892
+
+    failed = jnp.zeros((prob.batch,), bool)
+    c = rho1 + rho2
+
+    def matvec(p):
+        ep = jnp.einsum("bmn,bn->bm", prob.E, free_f * p,
+                        preferred_element_type=jnp.float32)
+        etep = jnp.einsum("bmn,bm->bn", prob.E, ep,
+                          preferred_element_type=jnp.float32)
+        return free_f * (c * p + rho4 * etep)
+
+    if cfg.linsolve not in ("cg", "woodbury"):
+        raise ValueError(f"unknown linsolve {cfg.linsolve!r}; "
+                         "expected 'cg' or 'woodbury'")
+    if cfg.linsolve == "woodbury":
+        factor = woodbury.WoodburyFactor(chol=state.chol, ratio=_wb_ratio(cfg))
+        x_exact = woodbury.solve(factor, prob.E, state.free, rhs, rho1 + rho2)
+        # Reproduce PCG's warm-start early exit (cg.py / reference :204-209):
+        # if y1 already solves the system to pcg_tol the iterate *is* y1,
+        # which is what ultimately fires the ||x-y1|| stop.  Without this
+        # the exact solve hovers an O(1/rho) gap away from y1 forever.
+        r0 = rhs - matvec(x0)
+        keep = jnp.sum(r0 * r0, axis=-1) \
+            < (cfg.pcg_tol ** 2) * jnp.sum(rhs * rhs, axis=-1)
+        x_new = jnp.where(keep[:, None], x0, x_exact)
+    else:
+        diag = jnp.where(state.free, c + rho4 * _esq_diag(prob.E, state.free),
+                         1.0)
+        res = cg_ops.pcg(matvec, rhs, x0, diag, cfg.pcg_tol,
+                         cfg.pcg_maxiters, active=active)
+        x_new, failed = res.x, res.failed
+    # CG failure => reference aborts the solve keeping the previous
+    # iterate (:1450-1454); here the instance freezes via done below.
+    x = jnp.where(act_n & ~failed[:, None], free_f * x_new, state.x)
+
+    # --- dual ascent -----------------------------------------------------
+    z1 = state.z1 + gamma * rho1 * free_f * (x - y1)                # :917
+    z2 = state.z2 + gamma * rho2 * free_f * (x - y2)                # :918
+    ex_new = jnp.einsum("bmn,bn->bm", prob.E, free_f * x,
+                        preferred_element_type=jnp.float32)
+    z4 = state.z4 + gamma * rho4 * (ex_new + y3 - state.f_eff)      # :919-924
+
+    # --- convergence -----------------------------------------------------
+    c1, c2 = dual_residuals(x, y1, y2, state.free)                  # :931-933
+    cvg = (c1 <= cfg.stop_threshold) & (c2 <= cfg.stop_threshold)
+    if skip_cvg_at is not None:
+        cvg = cvg & (it != skip_cvg_at)
+    cvg = cvg | failed
+
+    obj_val = jnp.sum(prob.b * free_f * x, axis=-1)                 # :972
+    push = active & ~cvg
+    H = cfg.history_size
+    slot = jnp.mod(state.obj_count, H)
+    onehot = slot[:, None] == jnp.arange(H)[None, :]
+    obj_ring = jnp.where(push[:, None] & onehot, obj_val[:, None],
+                         state.obj_ring)
+    obj_count = state.obj_count + push.astype(jnp.int32)
+    std = rel_std_obj(obj_ring, obj_count, obj_val)
+    std_stop = push & (std <= cfg.std_threshold)                    # :977
+
+    newly_done = active & (cvg | std_stop)
+
+    # --- incumbent (skipped on the break iteration, :1001-1011) ----------
+    track = active & ~newly_done
+    cur_idx = free_f * (x >= 0.5).astype(dt)
+    obj_bin = jnp.sum(prob.b * cur_idx, axis=-1)
+    cur_obj = jnp.where(track, obj_bin, state.cur_obj)
+    better = track & (state.best_bin_obj >= obj_bin)
+    best_bin_obj = jnp.where(better, obj_bin, state.best_bin_obj)
+    best_sol = jnp.where(better[:, None], x, state.best_sol)
+
+    # --- rule-based fixing counters (:1856-1871) -------------------------
+    if rule_fixing:
+        det = jnp.abs(x - state.x_prev) <= cfg.fix_threshold
+        fix_count = jnp.where(act_n & det & state.free,
+                              state.fix_count + 1,
+                              jnp.where(act_n & state.free, 0,
+                                        state.fix_count))
+    else:
+        fix_count = state.fix_count
+
+    upd = lambda new, old: jnp.where(act_n, new, old)
+    updm = lambda new, old: jnp.where(active[:, None], new, old)
+    return state._replace(
+        x=upd(x, state.x), y1=upd(y1, state.y1), y2=upd(y2, state.y2),
+        y3=updm(y3, state.y3),
+        z1=upd(z1, state.z1), z2=upd(z2, state.z2), z4=updm(z4, state.z4),
+        obj_ring=obj_ring, obj_count=obj_count,
+        it=it + 1,
+        done=state.done | newly_done,
+        cg_fail=state.cg_fail | failed,
+        cur_obj=cur_obj, best_bin_obj=best_bin_obj, best_sol=best_sol,
+        x_prev=upd(x, state.x_prev),
+        fix_count=fix_count,
+    )
+
+
+def solve_window(state: LpState, prob: LpProblem, cfg: SolverConfig,
+                 window: int, record: bool = True,
+                 skip_cvg_at: Optional[int] = None,
+                 rule_fixing: bool = False
+                 ) -> Tuple[LpState, Optional[jnp.ndarray]]:
+    """Run ``window`` iterations via lax.scan, optionally capturing the
+    per-iteration x trajectory (reference x_iters, :1472-1475).
+
+    Returns (state, traj) with traj of shape (B, n, window) matching the
+    reference's (n_remaining, ws) layout plus the batch axis; rows of
+    fixed/done variables repeat their frozen value.
+    """
+
+    def body(s, _):
+        s = step(s, prob, cfg, skip_cvg_at=skip_cvg_at,
+                 rule_fixing=rule_fixing)
+        out = s.x if record else None
+        return s, out
+
+    state, traj = jax.lax.scan(body, state, None, length=window)
+    if record:
+        traj = jnp.moveaxis(traj, 0, -1)   # (W, B, n) -> (B, n, W)
+    return state, traj
+
+
+def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
+              cfg: SolverConfig, min_fix: Optional[int] = None) -> LpState:
+    """Fix variables per decision vector ``vec`` (mask-based shrink).
+
+    ``vec`` is (B, n) with +1 (fix to 1), 0 (fix to 0), -1 (leave free),
+    exactly the Cython bridge's convention (lpbox.pyx:31, reference
+    :1136-1149).  Only currently-free variables can be fixed.  Per
+    instance, if the number of newly fixed variables is <= ``min_fix``
+    the whole round is skipped (trainer.py:533-535).
+
+    Equivalence to the reference's physical shrink (:1124-1335): with
+    free mask m and fixed values v, the reduced problem
+    ``min b1.x1 s.t. E1 x1 <= f - E2 x2`` is reproduced by masking every
+    matvec to free columns and replacing f with
+    ``f_eff = f - E @ ((1-m) * v)``; ``sum_fix_obj`` accumulates b2.x2.
+    """
+    if min_fix is None:
+        min_fix = cfg.min_fix
+    dt = state.x.dtype
+    active = ~state.done
+    want = state.free & (vec >= 0.0) & active[:, None]
+    cnt = jnp.sum(want, axis=-1)
+    do = cnt > min_fix
+    newly = want & do[:, None]
+
+    val = jnp.clip(vec, 0.0, 1.0)
+    fixed_val = jnp.where(newly, val, state.fixed_val)
+    free = state.free & ~newly
+    free_f = free.astype(dt)
+
+    fix_obj = jnp.sum(prob.b * val * newly.astype(dt), axis=-1)
+    sum_fix_obj = state.sum_fix_obj + fix_obj                        # :1248-1249
+
+    fixed_contrib = jnp.einsum(
+        "bmn,bn->bm", prob.E, (~free).astype(dt) * fixed_val,
+        preferred_element_type=jnp.float32)
+    f_eff = jnp.where(do[:, None], prob.f - fixed_contrib, state.f_eff)  # :1276-1278
+
+    # all-fixed or vanishing remaining iterate => converged (:1212-1223)
+    x_free_norm = jnp.sqrt(jnp.sum((free_f * state.x) ** 2, axis=-1))
+    empty = jnp.sum(free, axis=-1) == 0
+    done = state.done | (do & (empty | (x_free_norm < 1e-3)))
+
+    if cfg.linsolve == "woodbury":
+        chol = woodbury.factorize(prob.E, free, _wb_ratio(cfg)).chol
+        chol = jnp.where(do[:, None, None], chol, state.chol)
+    else:
+        chol = state.chol
+
+    return state._replace(
+        free=free, fixed_val=fixed_val, f_eff=f_eff,
+        sum_fix_obj=sum_fix_obj, done=done,
+        x_prev=jnp.where(do[:, None], state.x, state.x_prev),   # :1225
+        chol=chol,
+    )
+
+
+def rule_fix_vec(state: LpState, cfg: SolverConfig) -> jnp.ndarray:
+    """Decision vector from the consistency counters (ADMM_lp_iters_fix).
+
+    Variables whose iterate moved <= fix_threshold for ``consistency``
+    consecutive iterations are fixed to round(x) (:1861-1870, :2012).
+    Returns (B, n) in the +1/0/-1 convention of apply_fix.
+    """
+    flag = state.free & (state.fix_count >= cfg.consistency)
+    val = (state.x >= 0.5).astype(state.x.dtype)
+    return jnp.where(flag, val, -1.0)
+
+
+def solution(state: LpState) -> jnp.ndarray:
+    """Full-width binary solution scattered to original indices.
+
+    Free vars are rounded at 0.5, fixed vars keep their fixed value
+    (reference get_x_sol, :1648-1665).
+    """
+    rounded = (state.x >= 0.5).astype(state.x.dtype)
+    return jnp.where(state.free, rounded, state.fixed_val)
+
+
+def objective(state: LpState) -> jnp.ndarray:
+    """Total binary objective = sum_fix_obj + cur_obj (cal_obj, :1630-1642)."""
+    any_free = jnp.any(state.free, axis=-1)
+    return jnp.where(any_free, state.sum_fix_obj + state.cur_obj,
+                     state.sum_fix_obj)
+
+
+def infeasible_rows(state: LpState, prob: LpProblem) -> jnp.ndarray:
+    """Count constraint rows violated by the restored full solution
+    (check_infeasible_l2f, :1593-1612)."""
+    x_full = solution(state)
+    ex = jnp.einsum("bmn,bn->bm", prob.E, x_full,
+                    preferred_element_type=jnp.float32)
+    viol = (ex > prob.f) & prob.row_mask
+    return jnp.sum(viol, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iters", "window",
+                                             "rule_fixing"))
+def solve(prob: LpProblem, cfg: SolverConfig,
+          max_iters: Optional[int] = None, window: int = 100,
+          rule_fixing: bool = False) -> LpState:
+    """Plain (or rule-fixing) full solve to convergence.
+
+    Runs window-quantized iterations inside a ``lax.while_loop`` until
+    every instance is done or ``max_iters`` is reached -- the TPU
+    equivalent of ADMM_lp_iters(0, max_iters) (:766) and, with
+    ``rule_fixing``, of ADMM_lp_iters_fix (:1689).
+    """
+    if max_iters is None:
+        max_iters = cfg.max_iters
+    state = init_state(prob, cfg)
+
+    def cond(s):
+        return jnp.logical_and(s.it < max_iters, ~jnp.all(s.done))
+
+    def body(s):
+        s, _ = solve_window(s, prob, cfg, window, record=False,
+                            skip_cvg_at=0, rule_fixing=rule_fixing)
+        if rule_fixing:
+            s = apply_fix(s, prob, rule_fix_vec(s, cfg), cfg)
+        return s
+
+    return jax.lax.while_loop(cond, body, state)

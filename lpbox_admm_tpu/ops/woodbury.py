@@ -1,0 +1,65 @@
+"""Exact x-update via Woodbury identity + batched Cholesky (MXU fast path).
+
+The LP x-update solves ``(c I + rho4 E_f^T E_f) x = rhs`` on the free
+coordinates, where ``c = rho1 + rho2`` and ``E_f`` is the column-masked
+constraint matrix.  The reference uses loose PCG for this
+(LPboxADMMsolver.cpp:891-895, tol 1e-3).  On TPU, with m << n and dense
+batched matmuls on the MXU, the Woodbury identity gives an *exact* solve:
+
+    (c I + rho4 E^T E)^{-1} rhs
+        = (1/c) * (rhs - E^T G^{-1} E rhs),   G = (c/rho4) I_m + E E^T
+
+Under the reference's LP schedule rho1 = rho2 = rho4 share the same
+multiplicative updates, so ``c/rho4 = 2`` is constant across the whole
+solve: ``G`` depends only on the free-column mask and needs refactoring
+only at early-fix events, not on rho changes.  Each ADMM iteration's
+x-update is then two batched (B,m,n) matvecs plus two triangular solves.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class WoodburyFactor(NamedTuple):
+    chol: jnp.ndarray   # (B, m, m) lower Cholesky factor of G
+    ratio: float        # c / rho4 used to build G (static under LP schedule)
+
+
+def factorize(E: jnp.ndarray, free: jnp.ndarray, ratio: float) -> WoodburyFactor:
+    """Factor ``G = ratio * I + E_f E_f^T`` for the current free mask.
+
+    Args:
+      E: (B, m, n) dense constraint matrix (padded rows are zero).
+      free: (B, n) bool mask of free (not fixed) columns.
+      ratio: ``(rho1 + rho2) / rho4`` (constant = 2 for the LP preset).
+    """
+    Ef = E * free[:, None, :].astype(E.dtype)
+    G = jnp.einsum("bmn,bkn->bmk", Ef, Ef,
+                   preferred_element_type=jnp.float32)
+    m = G.shape[-1]
+    G = G + ratio * jnp.eye(m, dtype=G.dtype)
+    chol = jnp.linalg.cholesky(G)
+    return WoodburyFactor(chol=chol, ratio=ratio)
+
+
+def solve(factor: WoodburyFactor, E: jnp.ndarray, free: jnp.ndarray,
+          rhs: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Apply ``(c I + rho4 E_f^T E_f)^{-1}`` to ``rhs`` (masked to free).
+
+    ``c`` may be a scalar or (B,) array; ``rho4`` enters via
+    ``factor.ratio = c / rho4``.
+    """
+    free_f = free.astype(rhs.dtype)
+    rhs = rhs * free_f
+    Erhs = jnp.einsum("bmn,bn->bm", E, rhs,
+                      preferred_element_type=jnp.float32)
+    u = jax.scipy.linalg.cho_solve((factor.chol, True), Erhs[..., None])[..., 0]
+    corr = jnp.einsum("bmn,bm->bn", E, u,
+                      preferred_element_type=jnp.float32)
+    c = jnp.asarray(c)
+    c_col = c[..., None] if c.ndim == 1 else c
+    return free_f * (rhs - corr) / c_col
