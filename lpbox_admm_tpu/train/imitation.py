@@ -1,0 +1,245 @@
+"""Imitation-learning trainer for the early-fixing policy.
+
+TPU-native equivalent of the reference's ``PolicyKL``
+(LinerProgramming/LinearProgramming/trainer.py): the converged plain-ADMM
+solution labels each variable, and the policy is trained with weighted
+BCE on per-variable trajectory windows:
+
+* trajectory dataset      ~ readFile/getLabel/getSubset   (:32-98)
+* episode batch assembly  ~ _train_mha_100                (:254-299)
+  (10 episodes of ws=100, per-episode weight 1/i, reshaped
+   (10*n, 20, ws/20), labels tiled)
+* weighted BCE            ~ nn.BCEWithLogitsLoss(weight)  (:292)
+* optimizer               ~ Adam lr 1e-4 + StepLR(2000, 0.5) (run.py:44-45)
+* in-loop eval            ~ _valid_1 / _valid_2           (:354-597)
+* checkpointing           ~ train() epoch/best checkpoints (:599-643)
+
+Design delta: the reference loops instances one at a time from CSV files
+on disk; here trajectories are generated on device by the batched solver
+and the gradient step runs over an instance mini-batch -- no file
+round-trips (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+import time
+from typing import Any, Dict, Iterable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import LP_CONFIG, PolicyConfig, SolverConfig
+from ..core import lp
+from ..core.problem import LpProblem
+from .l2f import l2f_metrics, l2f_solve
+
+
+class TrajectoryDataset(NamedTuple):
+    """Recorded plain-ADMM trajectories + converged labels."""
+
+    traj: jnp.ndarray      # (B, n, T) first T iterations of plain ADMM
+    labels: jnp.ndarray    # (B, n) converged solution (0/1)
+    var_mask: jnp.ndarray  # (B, n)
+    oracle_obj: jnp.ndarray    # (B,) converged plain objective
+    oracle_iters: jnp.ndarray  # () iterations the plain solve took
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "record_iters"))
+def _record_then_converge(prob: LpProblem, cfg: SolverConfig,
+                          record_iters: int):
+    state = lp.init_state(prob, cfg)
+    state, traj = lp.solve_window(state, prob, cfg, record_iters,
+                                  record=True, skip_cvg_at=0)
+
+    def cond(s):
+        return jnp.logical_and(s.it < cfg.max_iters, ~jnp.all(s.done))
+
+    def body(s):
+        s, _ = lp.solve_window(s, prob, cfg, 100, record=False)
+        return s
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state, traj
+
+
+def build_dataset(prob: LpProblem, cfg: SolverConfig,
+                  record_iters: int = 1000) -> TrajectoryDataset:
+    """Run plain ADMM, recording the first ``record_iters`` iterations
+    (the reference's xiter CSVs) and the converged rounding as labels
+    (getLabel: final iterate >= 0.5, trainer.py:80-90)."""
+    state, traj = _record_then_converge(prob, cfg, record_iters)
+    labels = lp.solution(state)
+    return TrajectoryDataset(
+        traj=traj, labels=labels, var_mask=prob.var_mask,
+        oracle_obj=lp.objective(state), oracle_iters=state.it)
+
+
+def episode_batch(ds: TrajectoryDataset, pcfg: PolicyConfig, ws: int,
+                  n_episodes: int = 10
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assemble the (E*B*n, node, chunk) training batch.
+
+    Episode i covers trajectory columns [(i-1)*ws, i*ws) with weight 1/i
+    (trainer.py:272-285); rows of padded variables get weight 0.
+    """
+    B, n, T = ds.traj.shape
+    assert n_episodes * ws <= T, (n_episodes, ws, T)
+    node, chunk = pcfg.node_size, ws // pcfg.node_size
+    xs, wts = [], []
+    for i in range(1, n_episodes + 1):
+        sub = ds.traj[:, :, (i - 1) * ws:i * ws]        # (B, n, ws)
+        xs.append(sub.reshape(B * n, node, chunk))
+        w = jnp.full((B * n,), 1.0 / i) * ds.var_mask.reshape(B * n)
+        wts.append(w)
+    x = jnp.concatenate(xs, axis=0)
+    weight = jnp.concatenate(wts, axis=0)
+    labels = jnp.tile(ds.labels.reshape(B * n), (n_episodes,))
+    return x, labels, weight
+
+
+def weighted_bce(logits: jnp.ndarray, labels: jnp.ndarray,
+                 weight: jnp.ndarray) -> jnp.ndarray:
+    """torch BCEWithLogitsLoss(weight=w) semantics: mean over all
+    elements of w * bce(logit, label)."""
+    bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+    return jnp.mean(weight * bce)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class PolicyTrainer:
+    """Orchestrates imitation training + in-loop l2f evaluation
+    (the reference's PolicyKL class)."""
+
+    def __init__(self, model, pcfg: PolicyConfig,
+                 cfg: SolverConfig = LP_CONFIG, ws: int = 100,
+                 save_dir: Optional[str] = None):
+        self.model = model
+        self.pcfg = pcfg
+        self.cfg = cfg
+        self.ws = ws
+        self.save_dir = save_dir
+        schedule = optax.exponential_decay(
+            pcfg.lr, transition_steps=pcfg.lr_decay_step,
+            decay_rate=pcfg.lr_decay_factor, staircase=True)
+        self.tx = optax.adam(schedule)
+        self._train_step = jax.jit(self._train_step_impl)
+
+    def init(self, rng: jax.Array, sample: jnp.ndarray) -> TrainState:
+        variables = self.model.init(rng, sample, train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=self.tx.init(params),
+                          step=jnp.int32(0))
+
+    def variables(self, ts: TrainState) -> Dict[str, Any]:
+        v = {"params": ts.params}
+        if ts.batch_stats:
+            v["batch_stats"] = ts.batch_stats
+        return v
+
+    def _train_step_impl(self, ts: TrainState, x, labels, weight):
+        def loss_fn(params):
+            variables = {"params": params}
+            if ts.batch_stats:
+                variables["batch_stats"] = ts.batch_stats
+            out, mutated = self.model.apply(
+                variables, x, train=True, mutable=["batch_stats"])
+            logits, _ = out
+            loss = weighted_bce(logits[:, 0], labels, weight)
+            return loss, mutated.get("batch_stats", {})
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return TrainState(params=params, batch_stats=new_stats,
+                          opt_state=opt_state, step=ts.step + 1), loss
+
+    def train_epoch(self, ts: TrainState,
+                    datasets: Iterable[TrajectoryDataset],
+                    n_episodes: int = 10) -> Tuple[TrainState, float]:
+        """One pass over the instance datasets; one optimizer step per
+        dataset chunk (the reference steps once per instance with all
+        episodes concatenated, trainer.py:268-297)."""
+        losses = []
+        for ds in datasets:
+            x, labels, weight = episode_batch(ds, self.pcfg, self.ws,
+                                              n_episodes)
+            ts, loss = self._train_step(ts, x, labels, weight)
+            losses.append(float(loss))
+        return ts, float(np.mean(losses))
+
+    def evaluate(self, ts: TrainState, prob: LpProblem,
+                 ds: TrajectoryDataset, max_iter: Optional[int] = None
+                 ) -> Dict[str, Any]:
+        """In-loop l2f evaluation against the plain-ADMM oracle
+        (_valid_1/_valid_2 semantics: obj gap, speedup, fix errors)."""
+        t0 = time.perf_counter()
+        state = l2f_solve(prob, self.model, self.variables(ts), self.cfg,
+                          self.pcfg, ws=self.ws, max_iter=max_iter)
+        state.x.block_until_ready()
+        wall = time.perf_counter() - t0
+        m = l2f_metrics(state, prob, ds.oracle_obj, ds.labels)
+        out = {k: np.asarray(v) for k, v in m.items()}
+        out["wall_time_s"] = wall
+        out["mean_obj_gap"] = float(np.mean(out["obj_gap"]))
+        out["iter_speedup"] = float(ds.oracle_iters) / max(float(state.it), 1)
+        return out
+
+    # ---- checkpointing (reference trainer.py:599-643) -------------------
+    def save(self, ts: TrainState, epoch: int, best: bool = False):
+        if not self.save_dir:
+            return
+        os.makedirs(os.path.join(self.save_dir, "checkpoint"), exist_ok=True)
+        name = "best_checkpoint.cp" if best else f"checkpoint_{epoch}.cp"
+        path = os.path.join(self.save_dir, "checkpoint", name)
+        payload = {
+            "params": jax.device_get(ts.params),
+            "batch_stats": jax.device_get(ts.batch_stats),
+            "opt_state": jax.device_get(ts.opt_state),
+            "step": int(ts.step),
+            "epoch": epoch,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load(self, path: str) -> TrainState:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        return TrainState(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            step=jnp.int32(payload["step"]))
+
+    def train(self, ts: TrainState, datasets, eval_prob: LpProblem,
+              eval_ds: TrajectoryDataset, num_epochs: Optional[int] = None,
+              log=print) -> TrainState:
+        """Full training loop with per-epoch eval + best checkpointing."""
+        if num_epochs is None:
+            num_epochs = self.pcfg.num_epochs
+        best_gap = None
+        for epoch in range(num_epochs):
+            ts, loss = self.train_epoch(ts, datasets)
+            metrics = self.evaluate(ts, eval_prob, eval_ds)
+            gap = metrics["mean_obj_gap"]
+            log(f"epoch {epoch}: loss={loss:.5f} obj_gap={gap:+.4f} "
+                f"iter_speedup={metrics['iter_speedup']:.2f}x "
+                f"fixed={metrics['n_fixed'].mean():.0f}")
+            self.save(ts, epoch)
+            if best_gap is None or gap < best_gap:
+                best_gap = gap
+                self.save(ts, epoch, best=True)
+        return ts

@@ -1,0 +1,187 @@
+"""Tests for the policy nets, l2f loop, and imitation trainer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lpbox_admm_tpu.adapters import ca
+from lpbox_admm_tpu.config import LP_CONFIG, PolicyConfig
+from lpbox_admm_tpu.core import lp
+from lpbox_admm_tpu.models.policy import (GraphAttentionEncoder, MLPEncoder,
+                                          build_policy, position_encoding)
+from lpbox_admm_tpu.train import imitation, l2f
+
+
+def test_position_encoding_matches_reference_formula():
+    pe = np.asarray(position_encoding(20, 5))
+    assert pe.shape == (20, 5)
+    # pos 0 is zeroed *before* sin/cos are applied, so cos slots become 1
+    # (reference common/utils.py:27-30)
+    np.testing.assert_allclose(pe[0], [0.0, 1.0, 0.0, 1.0, 0.0])
+    # pos 1: sin/cos of 1/10000^(2*(j//2)/5)
+    angles = [1 / 10000 ** (2 * (j // 2) / 5) for j in range(5)]
+    expected = [np.sin(angles[0]), np.cos(angles[1]), np.sin(angles[2]),
+                np.cos(angles[3]), np.sin(angles[4])]
+    np.testing.assert_allclose(pe[1], expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("net", ["mha", "mlp"])
+def test_policy_forward_shapes(net):
+    model = build_policy(net)
+    x = jnp.zeros((7, 20, 5))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    logit, sig = model.apply(variables, x, train=False)
+    assert logit.shape == (7, 1)
+    assert sig.shape == (7, 1)
+    assert bool(jnp.all((sig >= 0) & (sig <= 1)))
+
+
+def test_policy_train_reduces_loss():
+    # tiny synthetic imitation task: label = whether the last chunk mean
+    # is above 0.5 -- learnable from the trajectory window
+    rng = np.random.RandomState(0)
+    x = rng.rand(256, 20, 5).astype(np.float32)
+    labels = (x[:, -1, :].mean(-1) > 0.5).astype(np.float32)
+    model = build_policy("mlp")
+    pcfg = PolicyConfig(net="mlp", lr=1e-3)
+    tr = imitation.PolicyTrainer(model, pcfg)
+    ts = tr.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+    w = jnp.ones((256,))
+    losses = []
+    for _ in range(60):
+        ts, loss = tr._train_step(ts, jnp.asarray(x), jnp.asarray(labels), w)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses[::20]
+
+
+def test_scores_to_vec():
+    sig = jnp.array([0.95, 0.05, 0.5, 0.91, 0.09])
+    vec = l2f.scores_to_vec(sig, 0.9)
+    np.testing.assert_allclose(np.asarray(vec), [1.0, 0.0, -1.0, 1.0, 0.0])
+
+
+@pytest.fixture(scope="module")
+def lp_setup():
+    rng = np.random.RandomState(11)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(3)]
+    prob = ca.make_problem(insts)
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    ds = imitation.build_dataset(prob, cfg, record_iters=1000)
+    return prob, cfg, ds
+
+
+def test_build_dataset(lp_setup):
+    prob, cfg, ds = lp_setup
+    B, n = prob.batch, prob.n
+    assert ds.traj.shape == (B, n, 1000)
+    assert ds.labels.shape == (B, n)
+    assert set(np.unique(np.asarray(ds.labels))).issubset({0.0, 1.0})
+    # trajectory's first window should differ from its last (it moves)
+    assert float(jnp.abs(ds.traj[..., 0] - ds.traj[..., 999]).max()) > 0.01
+    assert np.all(np.asarray(ds.oracle_obj) < 0)
+
+
+def test_episode_batch_weights(lp_setup):
+    prob, cfg, ds = lp_setup
+    pcfg = PolicyConfig()
+    x, labels, weight = imitation.episode_batch(ds, pcfg, ws=100,
+                                                n_episodes=10)
+    B, n = prob.batch, prob.n
+    assert x.shape == (10 * B * n, 20, 5)
+    assert labels.shape == weight.shape == (10 * B * n,)
+    w = np.asarray(weight).reshape(10, B, n)
+    mask = np.asarray(prob.var_mask)
+    # episode i has weight 1/i on valid vars, 0 on padding
+    for i in range(10):
+        np.testing.assert_allclose(w[i][mask], 1.0 / (i + 1), rtol=1e-6)
+        np.testing.assert_allclose(w[i][~mask], 0.0)
+
+
+def test_l2f_untrained_policy_no_fix(lp_setup):
+    """An untrained policy outputs sigma ~ 0.5 => nothing fixed, result
+    identical to the plain solve."""
+    prob, cfg, ds = lp_setup
+    model = build_policy("mlp")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 20, 5)), train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    pcfg = PolicyConfig(net="mlp", fix_confidence=0.999999)
+    state = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=100,
+                          max_iter=4000)
+    assert int(jnp.sum(~state.free & prob.var_mask)) == 0
+
+
+def test_l2f_oracle_policy_accelerates(lp_setup):
+    """A 'perfect' fixing decision (the labels themselves) must converge
+    faster than plain ADMM at near-zero objective gap -- validates the
+    mask-based problem-reduction math end-to-end."""
+    prob, cfg, ds = lp_setup
+    plain_iters = int(ds.oracle_iters)
+
+    state = lp.init_state(prob, cfg)
+    state, _ = lp.solve_window(state, prob, cfg, 100, record=True)
+    vec = jnp.where(prob.var_mask, ds.labels, -1.0)
+    state = lp.apply_fix(state, prob, vec, cfg)
+    # everything fixed to the oracle labels => instantly done
+    assert bool(jnp.all(state.done))
+    obj = np.asarray(lp.objective(state))
+    gap = np.abs(obj - np.asarray(ds.oracle_obj)) / np.abs(ds.oracle_obj)
+    np.testing.assert_array_less(gap, 1e-5)
+    infeas = np.asarray(lp.infeasible_rows(state, prob))
+    np.testing.assert_array_equal(infeas, 0)
+
+
+def test_l2f_partial_fix_math(lp_setup):
+    """Fix half the variables to their labels, let ADMM finish the rest:
+    objective must stay within a few % of the plain oracle."""
+    prob, cfg, ds = lp_setup
+    state = lp.init_state(prob, cfg)
+    state, _ = lp.solve_window(state, prob, cfg, 200, record=False,
+                               skip_cvg_at=0)
+    B, n = prob.batch, prob.n
+    half = np.zeros((B, n), dtype=bool)
+    half[:, ::2] = True
+    vec = jnp.where(jnp.asarray(half) & prob.var_mask, ds.labels, -1.0)
+    state = lp.apply_fix(state, prob, vec, cfg)
+
+    def cond(s):
+        return jnp.logical_and(s.it < 20000, ~jnp.all(s.done))
+
+    def body(s):
+        s, _ = lp.solve_window(s, prob, cfg, 100, record=False)
+        return s
+
+    state = jax.lax.while_loop(cond, body, state)
+    obj = np.asarray(lp.objective(state))
+    oracle = np.asarray(ds.oracle_obj)
+    gap = (obj - oracle) / np.abs(oracle)
+    assert np.all(gap < 0.10), (obj, oracle)
+    # solution scatter keeps the fixed values
+    sol = np.asarray(lp.solution(state))
+    lab = np.asarray(ds.labels)
+    np.testing.assert_allclose(sol[half & np.asarray(prob.var_mask)],
+                               lab[half & np.asarray(prob.var_mask)])
+
+
+def test_trainer_end_to_end_small(lp_setup, tmp_path):
+    """Two epochs of imitation training on real trajectories: loss drops
+    and checkpoints round-trip."""
+    prob, cfg, ds = lp_setup
+    model = build_policy("mlp")
+    pcfg = PolicyConfig(net="mlp")
+    tr = imitation.PolicyTrainer(model, pcfg, cfg, ws=100,
+                                 save_dir=str(tmp_path))
+    ts = tr.init(jax.random.PRNGKey(0), jnp.zeros((2, 20, 5)))
+    ts, loss0 = tr.train_epoch(ts, [ds])
+    for _ in range(5):
+        ts, loss = tr.train_epoch(ts, [ds])
+    assert loss < loss0, (loss0, loss)
+    tr.save(ts, 0)
+    ts2 = tr.load(str(tmp_path / "checkpoint" / "checkpoint_0.cp"))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b)),
+        ts.params, ts2.params)
