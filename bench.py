@@ -1,0 +1,208 @@
+"""Benchmark: batched CA-500 plain Lp-Box ADMM throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value  = instances/s solving a 128-instance CA (j=100 items, k=500 bids)
+         batch to convergence on one chip (the reference solves these one
+         at a time in C++/Eigen; BASELINE.md north-star is >=100x).
+vs_baseline = ratio against a faithful single-instance CPU
+         reference-semantics implementation (float64 scipy-sparse PCG,
+         the same hyperparameters/stopping rules as
+         LPboxADMMsolver.cpp:489-995), timed on this host and cached --
+         the stand-in for the un-buildable Eigen reference (no Eigen in
+         this image).
+
+Diagnostics (objective gap vs the CPU implementation, convergence
+fraction) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+CACHE = os.path.join(ROOT, "bench_cache")
+
+N_ITEMS, N_BIDS, BATCH = 100, 500, 128
+SEED = 2207
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_instances():
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"ca_{N_ITEMS}_{N_BIDS}_{BATCH}.npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=True)
+        return list(zip(z["prices"], z["Cs"]))
+    from lpbox_admm_tpu.adapters import ca
+    rng = np.random.RandomState(SEED)
+    t0 = time.time()
+    insts = [ca.generate_cauction(rng, n_items=N_ITEMS, n_bids=N_BIDS)
+             for _ in range(BATCH)]
+    log(f"generated {BATCH} CA-{N_BIDS} instances in {time.time()-t0:.1f}s")
+    np.savez(path,
+             prices=np.array([p for p, _ in insts], dtype=object),
+             Cs=np.array([C for _, C in insts], dtype=object))
+    return insts
+
+
+def cpu_reference_solve(prices, C, max_iters=20000):
+    """Reference-semantics plain solve: float64, sparse E, Jacobi-PCG
+    (tol 1e-3, maxiter 1e3, warm start y1 with early exit), LP preset
+    schedule and stopping rules."""
+    import scipy.sparse as sp
+
+    b = -np.asarray(prices, dtype=np.float64)
+    E = sp.csr_matrix(np.asarray(C, dtype=np.float64))
+    Et = E.T.tocsr()
+    m, n = E.shape
+    f = np.ones(m)
+    x = np.ones(n)
+    z1 = np.zeros(n)
+    z2 = np.zeros(n)
+    z4 = np.zeros(m)
+    esq_diag = np.asarray(E.multiply(E).sum(axis=0)).ravel()
+    obj_hist = []
+    cur_obj = b @ x
+
+    def sphere(v):
+        s = v - 0.5
+        return s * np.sqrt(n) / (2 * max(np.linalg.norm(s), 1e-300)) + 0.5
+
+    def pcg(rhs, x0, rho, tol=1e-3, maxiter=1000):
+        diag = 2 * rho + rho * esq_diag
+
+        def mv(p):
+            return 2 * rho * p + rho * (Et @ (E @ p))
+
+        xk = x0.copy()
+        r = rhs - mv(xk)
+        rhs2 = rhs @ rhs
+        if rhs2 == 0:
+            return np.zeros_like(rhs)
+        thr = max(tol * tol * rhs2, np.finfo(np.float64).tiny)
+        if r @ r < thr:
+            return xk
+        p = r / diag
+        absn = r @ p
+        for _ in range(maxiter):
+            tmp = mv(p)
+            alpha = absn / (p @ tmp)
+            xk += alpha * p
+            r -= alpha * tmp
+            if r @ r < thr:
+                break
+            z = r / diag
+            absn, absold = r @ z, absn
+            p = z + (absn / absold) * p
+        return xk
+
+    it = 0
+    for it in range(max_iters):
+        k = it // 25
+        rho = 25.0 * 1.01 ** k
+        gamma = max(1.6 * 0.95 ** k, 1.0)
+        y1 = np.clip(x + z1 / rho, 0, 1)
+        y2 = sphere(x + z2 / rho)
+        y3 = np.maximum(f - E @ x - z4 / rho, 0)
+        rhs = rho * y1 + rho * y2 - (b + z1 + z2) + Et @ (rho * (f - y3) - z4)
+        x = pcg(rhs, y1, rho)
+        z1 = z1 + gamma * rho * (x - y1)
+        z2 = z2 + gamma * rho * (x - y2)
+        z4 = z4 + gamma * rho * (E @ x + y3 - f)
+        xn = max(np.linalg.norm(x), 2.2204e-16)
+        if it > 0 and np.linalg.norm(x - y1) / xn <= 1e-4 \
+                and np.linalg.norm(x - y2) / xn <= 1e-4:
+            break
+        obj_hist.append(b @ x)
+        if len(obj_hist) >= 10:
+            w = np.array(obj_hist[-10:])
+            if np.std(w, ddof=1) / abs(w[-1]) <= 1e-12:
+                break
+        cur_obj = b @ (x >= 0.5)
+    return cur_obj, it + 1
+
+
+def cpu_baseline(insts, n_time=2):
+    path = os.path.join(CACHE, "cpu_baseline.json")
+    if os.path.exists(path):
+        with open(path) as fjs:
+            return json.load(fjs)
+    times, objs, iters = [], [], []
+    for prices, C in insts[:n_time]:
+        t0 = time.time()
+        obj, it = cpu_reference_solve(prices, C)
+        times.append(time.time() - t0)
+        objs.append(obj)
+        iters.append(it)
+        log(f"cpu reference: obj={obj:.1f} iters={it} "
+            f"time={times[-1]:.2f}s")
+    out = {"mean_time_s": float(np.mean(times)), "objs": objs,
+           "iters": iters, "n": n_time}
+    with open(path, "w") as fjs:
+        json.dump(out, fjs)
+    return out
+
+
+def main():
+    insts = get_instances()
+    base = cpu_baseline(insts)
+
+    import jax
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+
+    log(f"devices: {jax.devices()}")
+    prob = ca.make_problem(insts)
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    log(f"problem: E {prob.E.shape}")
+
+    # compile + warm up
+    t0 = time.time()
+    state = lp.solve(prob, cfg, window=100)
+    state.x.block_until_ready()
+    log(f"first solve (incl. compile): {time.time()-t0:.1f}s, "
+        f"it={int(state.it)}, done={int(state.done.sum())}/{BATCH}")
+
+    t0 = time.time()
+    state = lp.solve(prob, cfg, window=100)
+    state.x.block_until_ready()
+    wall = time.time() - t0
+
+    it = int(state.it)
+    n_done = int(np.asarray(state.done).sum())
+    objs = np.asarray(lp.objective(state))
+    infeas = np.asarray(lp.infeasible_rows(state, prob))
+    log(f"solve: wall={wall:.2f}s it={it} done={n_done}/{BATCH} "
+        f"mean_obj={objs.mean():.1f} infeas_instances="
+        f"{int((infeas > 0).sum())}")
+    for i, (obj_ref, it_ref) in enumerate(zip(base["objs"], base["iters"])):
+        gap = (objs[i] - obj_ref) / abs(obj_ref)
+        log(f"  inst{i}: tpu={objs[i]:.1f} cpu_ref={obj_ref:.1f} "
+            f"gap={gap:+.4f}")
+
+    instances_per_s = BATCH / wall
+    cpu_instances_per_s = 1.0 / base["mean_time_s"]
+    vs = instances_per_s / cpu_instances_per_s
+    log(f"iterations/s (batched): {it / wall:.0f} "
+        f"({it * BATCH / wall:.0f} instance-iterations/s)")
+
+    print(json.dumps({
+        "metric": "ca500_plain_admm_instance_throughput",
+        "value": round(instances_per_s, 3),
+        "unit": "instances/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

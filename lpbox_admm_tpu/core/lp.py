@@ -38,6 +38,7 @@ from ..ops.stats import dual_residuals, rel_std_obj
 from .problem import LpProblem
 
 _EPS = 2.2204e-16
+HI = jax.lax.Precision.HIGHEST
 
 
 class LpState(NamedTuple):
@@ -67,8 +68,8 @@ class LpState(NamedTuple):
     # Rule-based fixing counters
     x_prev: jnp.ndarray       # (B, n)
     fix_count: jnp.ndarray    # (B, n) int32 consistency counters
-    # Woodbury factor (zeros-shaped placeholder when linsolve == "cg")
-    chol: jnp.ndarray         # (B, m, m)
+    # Woodbury G^{-1} (zeros-shaped placeholder when linsolve == "cg")
+    ginv: jnp.ndarray         # (B, m, m)
 
 
 def _wb_ratio(cfg: SolverConfig) -> float:
@@ -86,13 +87,13 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     x = free_f * 1.0                      # x0 = 1 on valid vars (:583-586)
     zeros_n = jnp.zeros((B, n), dt)
     z4 = jnp.zeros((B, m), dt)
-    ex = jnp.einsum("bmn,bn->bm", prob.E, x, preferred_element_type=jnp.float32)
+    ex = jnp.einsum("bmn,bn->bm", prob.E, x, preferred_element_type=jnp.float32, precision=HI)
     y3 = prob.f - ex                      # (:720)
     cur_obj = jnp.sum(prob.b * x, axis=-1)  # best_bin_obj = b.x0 (:727)
     if cfg.linsolve == "woodbury":
-        chol = woodbury.factorize(prob.E, free, _wb_ratio(cfg)).chol
+        ginv = woodbury.factorize(prob.E, free, _wb_ratio(cfg)).ginv
     else:
-        chol = jnp.zeros((B, 1, 1), dt)
+        ginv = jnp.zeros((B, 1, 1), dt)
     return LpState(
         x=x, y1=x, y2=x, y3=y3, z1=zeros_n, z2=zeros_n, z4=z4,
         free=free, fixed_val=jnp.zeros((B, n), dt), f_eff=prob.f,
@@ -105,7 +106,7 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
         cur_obj=cur_obj, best_bin_obj=cur_obj, best_sol=x,
         x_prev=jnp.zeros((B, n), dt),
         fix_count=jnp.zeros((B, n), jnp.int32),
-        chol=chol,
+        ginv=ginv,
     )
 
 
@@ -142,7 +143,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     y2 = project_shifted_lp_ball(state.x + state.z2 / rho2,
                                  cfg.projection_lp, mask=state.free)  # :815-818
     ex = jnp.einsum("bmn,bn->bm", prob.E, free_f * state.x,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=HI)
     y3 = project_nonneg(state.f_eff - ex - state.z4 / rho4)         # :824-828
 
     # --- x update (PCG or Woodbury) -------------------------------------
@@ -150,7 +151,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     #                                                                :872-878
     et_term = jnp.einsum("bmn,bm->bn", prob.E,
                          rho4 * (state.f_eff - y3) - state.z4,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32, precision=HI)
     rhs = free_f * (rho1 * y1 + rho2 * y2
                     - (prob.b + state.z1 + state.z2) + et_term)
     x0 = free_f * y1                                                # :892
@@ -160,16 +161,16 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
 
     def matvec(p):
         ep = jnp.einsum("bmn,bn->bm", prob.E, free_f * p,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=HI)
         etep = jnp.einsum("bmn,bm->bn", prob.E, ep,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision=HI)
         return free_f * (c * p + rho4 * etep)
 
     if cfg.linsolve not in ("cg", "woodbury"):
         raise ValueError(f"unknown linsolve {cfg.linsolve!r}; "
                          "expected 'cg' or 'woodbury'")
     if cfg.linsolve == "woodbury":
-        factor = woodbury.WoodburyFactor(chol=state.chol, ratio=_wb_ratio(cfg))
+        factor = woodbury.WoodburyFactor(ginv=state.ginv, ratio=_wb_ratio(cfg))
         x_exact = woodbury.solve(factor, prob.E, state.free, rhs, rho1 + rho2)
         # Reproduce PCG's warm-start early exit (cg.py / reference :204-209):
         # if y1 already solves the system to pcg_tol the iterate *is* y1,
@@ -193,7 +194,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     z1 = state.z1 + gamma * rho1 * free_f * (x - y1)                # :917
     z2 = state.z2 + gamma * rho2 * free_f * (x - y2)                # :918
     ex_new = jnp.einsum("bmn,bn->bm", prob.E, free_f * x,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=HI)
     z4 = state.z4 + gamma * rho4 * (ex_new + y3 - state.f_eff)      # :919-924
 
     # --- convergence -----------------------------------------------------
@@ -311,7 +312,7 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
 
     fixed_contrib = jnp.einsum(
         "bmn,bn->bm", prob.E, (~free).astype(dt) * fixed_val,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=HI)
     f_eff = jnp.where(do[:, None], prob.f - fixed_contrib, state.f_eff)  # :1276-1278
 
     # all-fixed or vanishing remaining iterate => converged (:1212-1223)
@@ -320,16 +321,16 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
     done = state.done | (do & (empty | (x_free_norm < 1e-3)))
 
     if cfg.linsolve == "woodbury":
-        chol = woodbury.factorize(prob.E, free, _wb_ratio(cfg)).chol
-        chol = jnp.where(do[:, None, None], chol, state.chol)
+        ginv = woodbury.factorize(prob.E, free, _wb_ratio(cfg)).ginv
+        ginv = jnp.where(do[:, None, None], ginv, state.ginv)
     else:
-        chol = state.chol
+        ginv = state.ginv
 
     return state._replace(
         free=free, fixed_val=fixed_val, f_eff=f_eff,
         sum_fix_obj=sum_fix_obj, done=done,
         x_prev=jnp.where(do[:, None], state.x, state.x_prev),   # :1225
-        chol=chol,
+        ginv=ginv,
     )
 
 
@@ -367,7 +368,7 @@ def infeasible_rows(state: LpState, prob: LpProblem) -> jnp.ndarray:
     (check_infeasible_l2f, :1593-1612)."""
     x_full = solution(state)
     ex = jnp.einsum("bmn,bn->bm", prob.E, x_full,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=HI)
     viol = (ex > prob.f) & prob.row_mask
     return jnp.sum(viol, axis=-1)
 

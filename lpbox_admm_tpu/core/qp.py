@@ -1,0 +1,302 @@
+"""Batched Lp-Box ADMM for unconstrained binary QPs (segmentation).
+
+TPU-native re-design of the reference's segmentation solver
+(Segmentation/Segmentation/cython/src/LPboxADMMsolver.cpp):
+
+* ``init_state``     ~ ADMM_bqp_unconstrained_init state setup (:658-810)
+* ``step``           ~ one iteration of ADMM_bqp_unconstrained_{legacy,l2f}
+                       (:1067-1195, :1200-1380)
+* ``apply_fix``      ~ the quadratic early-fix reduction Ma/Mb
+                       (:927-1062): reduced problem A'=Ma,
+                       b' = 2 Mb x2 + b1 -- reproduced with static
+                       shapes as b_eff = b + 2 A'@((1-free) * v) masked
+                       to free coordinates
+* ``energy``         ~ get_final_obj (:868-893): full restored solution
+                       on the original A plus the unary constant c
+
+The problem is ``min x^T A' x + b^T x`` with ``A' = D - W`` given as a
+grid ``Stencil`` (see ops/stencil.py); the CG matrix
+``2 A' + (rho1+rho2) I`` is applied as a 9-point stencil matvec.  State
+vectors live on the (B, H, W) grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+from ..ops import cg as cg_ops
+from ..ops.projections import project_box
+from ..ops.schedule import rho_at, gamma_at
+from ..ops.stats import rel_std_obj
+from ..ops.stencil import Stencil
+
+_EPS = 2.2204e-16
+
+
+class QpProblem(NamedTuple):
+    """Batched grid BQP: min x.A'x + b.x, A' = degree - W (stencil)."""
+
+    stencil: Stencil        # (B, 8, H, W) weights + (B, H, W) degree
+    b: jnp.ndarray          # (B, H, W) linear cost
+    const: jnp.ndarray      # (B,) additive constant (Seg's sum of U1)
+    mask: jnp.ndarray       # (B, H, W) bool: valid (in-image) pixels
+
+    @property
+    def batch(self) -> int:
+        return self.b.shape[0]
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return self.b.shape[-2], self.b.shape[-1]
+
+
+class QpState(NamedTuple):
+    x: jnp.ndarray          # (B, H, W)
+    y1: jnp.ndarray
+    y2: jnp.ndarray
+    z1: jnp.ndarray
+    z2: jnp.ndarray
+    free: jnp.ndarray       # (B, H, W) bool
+    fixed_val: jnp.ndarray  # (B, H, W)
+    b_eff: jnp.ndarray      # (B, H, W): b + 2 A'@(fixed contribution)
+    obj_ring: jnp.ndarray   # (B, H)
+    obj_count: jnp.ndarray  # (B,)
+    it: jnp.ndarray         # ()
+    done: jnp.ndarray       # (B,)
+    cur_obj: jnp.ndarray    # (B,) binary objective on the reduced problem
+    best_bin_obj: jnp.ndarray
+    best_sol: jnp.ndarray
+    x_prev: jnp.ndarray
+    fix_count: jnp.ndarray  # (B, H, W) int32
+
+
+def _msum(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(x, axis=(-2, -1))
+
+
+def _mnorm(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.where(mask, x, 0.0)
+    return jnp.sqrt(_msum(x * x))
+
+
+def _sphere(x: jnp.ndarray, free: jnp.ndarray, p: int) -> jnp.ndarray:
+    shift = jnp.where(free, x - 0.5, 0.0)
+    n_act = _msum(free).astype(x.dtype)[:, None, None]
+    norm = jnp.sqrt(_msum(shift * shift))[:, None, None]
+    norm = jnp.maximum(norm, _EPS)
+    y = shift * (n_act ** (1.0 / p)) / (2.0 * norm) + 0.5
+    return jnp.where(free, y, x)
+
+
+def reduced_cost(state: QpState, prob: QpProblem, x: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """compute_cost on the reduced (free) problem: x.Ma x + b_eff.x with
+    x masked to free coords (reference compute_cost, Seg :497-510)."""
+    free_f = state.free.astype(x.dtype)
+    xf = free_f * x
+    ax = prob.stencil.a_matvec(xf)
+    return _msum(xf * (free_f * ax)) + _msum(state.b_eff * xf)
+
+
+def init_state(prob: QpProblem, cfg: SolverConfig) -> QpState:
+    """x0 = 0, duals 0 (Seg init :762-800)."""
+    B = prob.batch
+    H, W = prob.grid
+    dt = prob.b.dtype
+    zeros = jnp.zeros((B, H, W), dt)
+    free = prob.mask
+    st = QpState(
+        x=zeros, y1=zeros, y2=zeros, z1=zeros, z2=zeros,
+        free=free, fixed_val=zeros, b_eff=prob.b,
+        obj_ring=jnp.zeros((B, cfg.history_size), dt),
+        obj_count=jnp.zeros((B,), jnp.int32),
+        it=jnp.int32(0),
+        done=jnp.zeros((B,), bool),
+        cur_obj=jnp.zeros((B,), dt), best_bin_obj=jnp.zeros((B,), dt),
+        best_sol=zeros, x_prev=zeros,
+        fix_count=jnp.zeros((B, H, W), jnp.int32),
+    )
+    # best_bin_obj = cost(x0) = 0 for x0 = 0 (:800)
+    return st
+
+
+def step(state: QpState, prob: QpProblem, cfg: SolverConfig,
+         rule_fixing: bool = False) -> QpState:
+    """One ADMM iteration (Seg :1067-1195)."""
+    dt = state.x.dtype
+    it = state.it
+    active = ~state.done
+    act = active[:, None, None]
+    free = state.free
+    free_f = free.astype(dt)
+
+    rho1 = rho_at(it, cfg)
+    rho2 = rho1
+    gamma = gamma_at(it, cfg)
+    c = rho1 + rho2
+
+    y1 = project_box(state.x + state.z1 / rho1)
+    y2 = _sphere(state.x + state.z2 / rho2, free, cfg.projection_lp)
+
+    rhs = free_f * (rho1 * y1 + rho2 * y2
+                    - (state.b_eff + state.z1 + state.z2))
+
+    def matvec(p):
+        ap = prob.stencil.a_matvec(free_f * p)
+        return free_f * (2.0 * ap + c * p)
+
+    diag = jnp.where(free, 2.0 * prob.stencil.a_diag() + c, 1.0)
+    B = prob.batch
+    H, W = prob.grid
+    res = cg_ops.pcg(
+        lambda p: matvec(p.reshape(B, H, W)).reshape(B, H * W),
+        rhs.reshape(B, H * W), (free_f * y1).reshape(B, H * W),
+        diag.reshape(B, H * W), cfg.pcg_tol, cfg.pcg_maxiters,
+        active=active)
+    x = jnp.where(act & ~res.failed[:, None, None],
+                  free_f * res.x.reshape(B, H, W), state.x)
+
+    z1 = state.z1 + gamma * rho1 * free_f * (x - y1)
+    z2 = state.z2 + gamma * rho2 * free_f * (x - y2)
+
+    xnorm = jnp.maximum(_mnorm(x, free), _EPS)
+    c1 = _mnorm(x - y1, free) / xnorm
+    c2 = _mnorm(x - y2, free) / xnorm
+    cvg = ((c1 <= cfg.stop_threshold) & (c2 <= cfg.stop_threshold)
+           ) | res.failed
+
+    obj_val = reduced_cost(state._replace(free=free), prob, x)
+    push = active & ~cvg
+    Hs = cfg.history_size
+    slot = jnp.mod(state.obj_count, Hs)
+    onehot = slot[:, None] == jnp.arange(Hs)[None, :]
+    obj_ring = jnp.where(push[:, None] & onehot, obj_val[:, None],
+                         state.obj_ring)
+    obj_count = state.obj_count + push.astype(jnp.int32)
+    std = rel_std_obj(obj_ring, obj_count, obj_val)
+    std_stop = push & (std <= cfg.std_threshold)
+
+    newly_done = active & (cvg | std_stop)
+
+    track = active & ~newly_done
+    rounded = free_f * (x >= 0.5).astype(dt)
+    obj_bin = reduced_cost(state, prob, rounded)
+    cur_obj = jnp.where(track, obj_bin, state.cur_obj)
+    better = track & (state.best_bin_obj >= obj_bin)
+    best_bin_obj = jnp.where(better, obj_bin, state.best_bin_obj)
+    best_sol = jnp.where(better[:, None, None], x, state.best_sol)
+
+    if rule_fixing:
+        det = jnp.abs(x - state.x_prev) <= cfg.fix_threshold
+        fix_count = jnp.where(act & det & free, state.fix_count + 1,
+                              jnp.where(act & free, 0, state.fix_count))
+    else:
+        fix_count = state.fix_count
+
+    upd = lambda new, old: jnp.where(act, new, old)
+    return state._replace(
+        x=upd(x, state.x), y1=upd(y1, state.y1), y2=upd(y2, state.y2),
+        z1=upd(z1, state.z1), z2=upd(z2, state.z2),
+        obj_ring=obj_ring, obj_count=obj_count,
+        it=it + 1, done=state.done | newly_done,
+        cur_obj=cur_obj, best_bin_obj=best_bin_obj, best_sol=best_sol,
+        x_prev=upd(x, state.x_prev), fix_count=fix_count)
+
+
+def solve_window(state: QpState, prob: QpProblem, cfg: SolverConfig,
+                 window: int, record: bool = True,
+                 rule_fixing: bool = False
+                 ) -> Tuple[QpState, Optional[jnp.ndarray]]:
+    """Run ``window`` iterations; optional (B, H, W, window) trajectory."""
+
+    def body(s, _):
+        s = step(s, prob, cfg, rule_fixing=rule_fixing)
+        return s, (s.x if record else None)
+
+    state, traj = jax.lax.scan(body, state, None, length=window)
+    if record:
+        traj = jnp.moveaxis(traj, 0, -1)
+    return state, traj
+
+
+def apply_fix(state: QpState, prob: QpProblem, vec: jnp.ndarray,
+              cfg: SolverConfig, min_fix: Optional[int] = None) -> QpState:
+    """Quadratic early-fix reduction, mask-based (Seg :927-1062).
+
+    ``vec`` is (B, H, W) in the +1/0/-1 convention.  The reduced linear
+    term b' = 2 Mb x2 + b1 becomes
+    ``b_eff = free * (b + 2 * A'@((1-free) * fixed_val))`` -- the
+    off-diagonal block times the fixed values, folded into b.
+    """
+    if min_fix is None:
+        min_fix = cfg.min_fix
+    dt = state.x.dtype
+    active = ~state.done
+    want = state.free & (vec >= 0.0) & active[:, None, None]
+    cnt = _msum(want)
+    do = cnt > min_fix
+    newly = want & do[:, None, None]
+
+    val = jnp.clip(vec, 0.0, 1.0)
+    fixed_val = jnp.where(newly, val, state.fixed_val)
+    free = state.free & ~newly
+    free_f = free.astype(dt)
+
+    contrib = prob.stencil.a_matvec((~free).astype(dt) * fixed_val)
+    b_eff = jnp.where(do[:, None, None], prob.b + 2.0 * contrib,
+                      state.b_eff)
+
+    empty = _msum(free) == 0
+    done = state.done | (do & empty)
+
+    return state._replace(
+        free=free, fixed_val=fixed_val, b_eff=b_eff, done=done,
+        x_prev=jnp.where(do[:, None, None], state.x, state.x_prev))
+
+
+def rule_fix_vec(state: QpState, cfg: SolverConfig) -> jnp.ndarray:
+    flag = state.free & (state.fix_count >= cfg.consistency)
+    val = (state.x >= 0.5).astype(state.x.dtype)
+    return jnp.where(flag, val, -1.0)
+
+
+def solution(state: QpState) -> jnp.ndarray:
+    """Full restored binary solution (Seg get_x_sol :895-915)."""
+    rounded = (state.x >= 0.5).astype(state.x.dtype)
+    return jnp.where(state.free, rounded, state.fixed_val)
+
+
+def energy(state: QpState, prob: QpProblem) -> jnp.ndarray:
+    """Total segmentation energy of the restored solution on the
+    ORIGINAL problem + constant c (get_final_obj, Seg :868-893)."""
+    x = solution(state) * prob.mask.astype(state.x.dtype)
+    ax = prob.stencil.a_matvec(x)
+    return _msum(x * ax) + _msum(prob.b * x) + prob.const
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iters", "window",
+                                             "rule_fixing"))
+def solve(prob: QpProblem, cfg: SolverConfig,
+          max_iters: Optional[int] = None, window: int = 100,
+          rule_fixing: bool = False) -> QpState:
+    """Plain full solve (ADMM_bqp_unconstrained_legacy, Seg :1200-1380)."""
+    if max_iters is None:
+        max_iters = cfg.max_iters
+    state = init_state(prob, cfg)
+
+    def cond(s):
+        return jnp.logical_and(s.it < max_iters, ~jnp.all(s.done))
+
+    def body(s):
+        s, _ = solve_window(s, prob, cfg, window, record=False,
+                            rule_fixing=rule_fixing)
+        if rule_fixing:
+            s = apply_fix(s, prob, rule_fix_vec(s, cfg), cfg)
+        return s
+
+    return jax.lax.while_loop(cond, body, state)
