@@ -150,6 +150,7 @@ class PolicyConfig:
     pe_dim: int = 5                  # positional-encoding dim appended to input
     chunk_dim: int = 5               # trajectory chunk feature width
     node_size: int = 20              # tokens per variable (20 LP / 5 Seg / 10 SA)
+    window_mode: str = "chunk"       # "chunk" (LP/SA reshape) | "sliding" (Seg)
     fix_confidence: float = 0.9      # C: fix to 1 if sigma>C, to 0 if sigma<1-C
     lr: float = 1e-4
     lr_decay_step: int = 2000

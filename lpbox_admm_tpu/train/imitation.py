@@ -87,19 +87,50 @@ def episode_batch(ds: TrajectoryDataset, pcfg: PolicyConfig, ws: int,
     Episode i covers trajectory columns [(i-1)*ws, i*ws) with weight 1/i
     (trainer.py:272-285); rows of padded variables get weight 0.
     """
-    B, n, T = ds.traj.shape
+    from .l2f import traj_to_tokens
+
+    traj = ds.traj.reshape(ds.traj.shape[0], -1, ds.traj.shape[-1])
+    B, n, T = traj.shape
     assert n_episodes * ws <= T, (n_episodes, ws, T)
-    node, chunk = pcfg.node_size, ws // pcfg.node_size
     xs, wts = [], []
     for i in range(1, n_episodes + 1):
-        sub = ds.traj[:, :, (i - 1) * ws:i * ws]        # (B, n, ws)
-        xs.append(sub.reshape(B * n, node, chunk))
+        sub = traj[:, :, (i - 1) * ws:i * ws]           # (B, n, ws)
+        xs.append(traj_to_tokens(sub.reshape(B * n, ws), pcfg))
         w = jnp.full((B * n,), 1.0 / i) * ds.var_mask.reshape(B * n)
         wts.append(w)
     x = jnp.concatenate(xs, axis=0)
     weight = jnp.concatenate(wts, axis=0)
     labels = jnp.tile(ds.labels.reshape(B * n), (n_episodes,))
     return x, labels, weight
+
+
+def build_dataset_qp(prob, cfg: SolverConfig,
+                     record_iters: int = 50) -> TrajectoryDataset:
+    """Segmentation variant of build_dataset: grid trajectories flattened
+    to (B, H*W, T); oracle = full energy of the plain solve
+    (Seg trainer.py readFile/getLabel + xiter_all.csv oracle)."""
+    from ..core import qp as qp_core
+
+    state = qp_core.init_state(prob, cfg)
+    state, traj = qp_core.solve_window(state, prob, cfg, record_iters,
+                                       record=True)
+
+    def cond(s):
+        return jnp.logical_and(s.it < cfg.max_iters, ~jnp.all(s.done))
+
+    def body(s):
+        s, _ = qp_core.solve_window(s, prob, cfg, 50, record=False)
+        return s
+
+    state = jax.lax.while_loop(cond, body, state)
+    B = prob.batch
+    labels = qp_core.solution(state)
+    return TrajectoryDataset(
+        traj=traj.reshape(B, -1, record_iters),
+        labels=labels.reshape(B, -1),
+        var_mask=prob.mask.reshape(B, -1),
+        oracle_obj=qp_core.energy(state, prob),
+        oracle_iters=state.it)
 
 
 def weighted_bce(logits: jnp.ndarray, labels: jnp.ndarray,

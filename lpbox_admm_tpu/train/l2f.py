@@ -5,44 +5,65 @@ GPU policy (trainer.py:483-597 ``_valid_2``): each round trips
 solver -> numpy copy -> GPU -> numpy fix vector -> solver.  Here the
 whole alternation is ONE jitted ``lax.while_loop``: the body runs a
 ``ws``-iteration solver window via ``lax.scan`` (trajectory stays in
-device memory), applies the jitted policy to the (B*n, node, chunk)
-trajectory windows, thresholds into a fix vector
-(``deter_fix_2``, trainer.py:101-135), and updates the free masks --
-zero host round trips (SURVEY.md section 7, design delta 4).
+device memory), applies the jitted policy to the per-variable trajectory
+windows, thresholds into a fix vector (``deter_fix_2``,
+trainer.py:101-135), and updates the free masks -- zero host round
+trips (SURVEY.md section 7, design delta 4).
+
+Works over both solver cores: the LP core (core/lp.py) and the
+segmentation QP core (core/qp.py), which share the
+init_state/solve_window/apply_fix API.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import PolicyConfig, SolverConfig
-from ..core import lp
+from ..core import lp, qp
 from ..core.problem import LpProblem
 
 
-def policy_scores(model, variables, traj: jnp.ndarray, node_size: int,
-                  row_chunk: int = 8192) -> jnp.ndarray:
-    """Apply the policy to per-variable trajectory windows.
+def traj_to_tokens(rows: jnp.ndarray, pcfg: PolicyConfig) -> jnp.ndarray:
+    """(R, ws) trajectory rows -> (R, node_size, chunk_dim) policy tokens.
 
-    ``traj`` is (R, ws); rows are reshaped to (R, node_size, ws/node_size)
-    (trainer.py:527-529) and scored in ``row_chunk`` chunks to bound
-    activation memory, mirroring ``_get_fix_vec``'s 10k batching
-    (trainer.py:216-252).  Returns sigmoid scores (R,).
+    * ``chunk`` mode (LP, SparseAttack): contiguous reshape,
+      ws = node_size * chunk_dim (LP trainer.py:285).
+    * ``sliding`` mode (Segmentation): node_size overlapping windows of
+      width chunk_dim, window j = row[j : j+chunk_dim]
+      (Seg trainer.py:363-368, 718-725).
     """
-    R, ws = traj.shape
-    chunk = ws // node_size
-    x = traj.reshape(R, node_size, chunk)
+    R, ws = rows.shape
+    node, chunk = pcfg.node_size, pcfg.chunk_dim
+    if pcfg.window_mode == "chunk":
+        assert ws == node * chunk, (ws, node, chunk)
+        return rows.reshape(R, node, chunk)
+    if pcfg.window_mode == "sliding":
+        assert node + chunk - 1 <= ws, (ws, node, chunk)
+        wins = [rows[:, j:j + chunk] for j in range(node)]
+        return jnp.stack(wins, axis=1)
+    raise ValueError(f"unknown window_mode {pcfg.window_mode!r}")
+
+
+def policy_scores(model, variables, rows: jnp.ndarray, pcfg: PolicyConfig,
+                  row_chunk: int = 8192) -> jnp.ndarray:
+    """Score per-variable trajectory rows (R, ws) -> sigmoids (R,).
+
+    Applied in ``row_chunk`` chunks to bound activation memory,
+    mirroring ``_get_fix_vec``'s 10k batching (trainer.py:216-252).
+    """
+    x = traj_to_tokens(rows, pcfg)
+    R = x.shape[0]
     if R <= row_chunk:
         _, sig = model.apply(variables, x, train=False)
         return sig[:, 0]
-    # pad to a multiple of row_chunk and scan over chunks
     pad = (-R) % row_chunk
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-    xp = xp.reshape(-1, row_chunk, node_size, chunk)
+    xp = xp.reshape(-1, row_chunk, *x.shape[1:])
 
     def score(xc):
         _, sig = model.apply(variables, xc, train=False)
@@ -59,35 +80,40 @@ def scores_to_vec(sig: jnp.ndarray, confidence: float) -> jnp.ndarray:
                      jnp.where(sig < 1.0 - confidence, 0.0, -1.0))
 
 
+def _core_of(problem) -> object:
+    return lp if isinstance(problem, LpProblem) else qp
+
+
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "pcfg", "ws",
                                              "max_iter", "row_chunk"))
-def l2f_solve(prob: LpProblem, model, variables, cfg: SolverConfig,
+def l2f_solve(prob, model, variables, cfg: SolverConfig,
               pcfg: PolicyConfig, ws: int = 100,
               max_iter: Optional[int] = None,
-              row_chunk: int = 8192) -> lp.LpState:
+              row_chunk: int = 8192):
     """Windowed solve with the policy fixing variables between windows.
 
     Equivalent of the reference's ``_valid_2`` alternation loop
-    (trainer.py:516-535) with mask-based fixing.  ``ws`` must be
-    divisible by ``pcfg.node_size``.
+    (LP trainer.py:516-535) and ``_my_valid`` (Seg trainer.py:707-737),
+    dispatching on the problem type (LpProblem -> LP core, QpProblem ->
+    grid QP core) with mask-based fixing.
     """
+    core = _core_of(prob)
     if max_iter is None:
         max_iter = cfg.max_iters
-    assert ws % pcfg.node_size == 0, (ws, pcfg.node_size)
-    state = lp.init_state(prob, cfg)
-    B, n = prob.batch, prob.n
+    state = core.init_state(prob, cfg)
+    B = prob.batch
 
     def cond(s):
         return jnp.logical_and(s.it < max_iter, ~jnp.all(s.done))
 
     def body(s):
-        s, traj = lp.solve_window(s, prob, cfg, ws, record=True)
-        rows = traj.reshape(B * n, ws)
-        sig = policy_scores(model, variables, rows, pcfg.node_size,
-                            row_chunk)
-        vec = scores_to_vec(sig, pcfg.fix_confidence).reshape(B, n)
-        # never fix padding: apply_fix already restricts to free vars
-        s = lp.apply_fix(s, prob, vec, cfg)
+        s, traj = core.solve_window(s, prob, cfg, ws, record=True)
+        var_shape = traj.shape[1:-1]       # (n,) or (H, W)
+        rows = traj.reshape(-1, ws)
+        sig = policy_scores(model, variables, rows, pcfg, row_chunk)
+        vec = scores_to_vec(sig, pcfg.fix_confidence)
+        vec = vec.reshape((B,) + var_shape)
+        s = core.apply_fix(s, prob, vec, cfg)
         return s
 
     return jax.lax.while_loop(cond, body, state)
@@ -96,7 +122,7 @@ def l2f_solve(prob: LpProblem, model, variables, cfg: SolverConfig,
 def l2f_metrics(state: lp.LpState, prob: LpProblem,
                 oracle_obj: jnp.ndarray,
                 labels: Optional[jnp.ndarray] = None) -> dict:
-    """Evaluation metrics of the accelerated solve against the plain
+    """Evaluation metrics of the accelerated LP solve against the plain
     oracle: objective gap, infeasible rows, fix counts and fix errors
     (trainer.py:431-453, 559-560)."""
     obj = lp.objective(state)
@@ -119,4 +145,29 @@ def l2f_metrics(state: lp.LpState, prob: LpProblem,
         out["sol_0_to_1"] = jnp.sum(
             ((labels == 0) & (sol == 1)) & prob.var_mask, axis=-1)
         out["sol_agree"] = jnp.sum(agree, axis=-1)
+    return out
+
+
+def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
+                   oracle_energy: jnp.ndarray,
+                   labels: Optional[jnp.ndarray] = None) -> dict:
+    """Segmentation eval metrics: energy gap + per-pixel agreement
+    (Seg trainer.py:745-771)."""
+    energy = qp.energy(state, prob)
+    gap = (energy - oracle_energy) / jnp.abs(oracle_energy)
+    fixed = (~state.free) & prob.mask
+    out = {
+        "energy": energy,
+        "energy_gap": gap,
+        "iterations": state.it,
+        "n_fixed": jnp.sum(fixed, axis=(-2, -1)),
+    }
+    if labels is not None:
+        sol = qp.solution(state)
+        out["px_1_to_0"] = jnp.sum(
+            ((labels == 1) & (sol == 0)) & prob.mask, axis=(-2, -1))
+        out["px_0_to_1"] = jnp.sum(
+            ((labels == 0) & (sol == 1)) & prob.mask, axis=(-2, -1))
+        out["px_agree"] = jnp.sum((sol == labels) & prob.mask,
+                                  axis=(-2, -1))
     return out

@@ -1,0 +1,212 @@
+"""Tests for the stencil operator, QP core, and segmentation adapter."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lpbox_admm_tpu.adapters import segmentation as seg
+from lpbox_admm_tpu.config import SEG_CONFIG, PolicyConfig
+from lpbox_admm_tpu.core import qp
+from lpbox_admm_tpu.models.policy import build_policy
+from lpbox_admm_tpu.ops.stencil import OFFSETS, build_stencil
+from lpbox_admm_tpu.train import imitation, l2f
+
+
+def dense_from_stencil(weights):
+    """Materialize the (H*W, H*W) W matrix from weight planes (test
+    oracle)."""
+    _, H, W = weights.shape
+    n = H * W
+    M = np.zeros((n, n))
+    for d, (dr, dc) in enumerate(OFFSETS):
+        for i in range(H):
+            for j in range(W):
+                r, c = i + dr, j + dc
+                if 0 <= r < H and 0 <= c < W:
+                    M[i * W + j, r * W + c] = weights[d, i, j]
+    return M
+
+
+def test_stencil_matvec_matches_dense(rng):
+    H, W = 5, 7
+    weights = rng.rand(1, 8, H, W).astype(np.float32)
+    # zero out-of-bounds edges as the builder would
+    for d, (dr, dc) in enumerate(OFFSETS):
+        if dr == -1:
+            weights[:, d, 0, :] = 0
+        if dr == 1:
+            weights[:, d, -1, :] = 0
+        if dc == -1:
+            weights[:, d, :, 0] = 0
+        if dc == 1:
+            weights[:, d, :, -1] = 0
+    st = build_stencil(jnp.asarray(weights))
+    x = rng.rand(1, H, W).astype(np.float32)
+    Wm = dense_from_stencil(weights[0])
+    D = np.diag(Wm.sum(axis=1))
+    expected = ((D - Wm) @ x.reshape(-1)).reshape(H, W)
+    got = np.asarray(st.a_matvec(jnp.asarray(x)))[0]
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_binary_weights_symmetric(rng):
+    I = rng.rand(6, 8)
+    w = seg.binary_weights(I)
+    # weight of edge (p -> q) equals (q -> p): plane d at p equals
+    # opposite plane at q
+    opp = {0: 7, 1: 6, 2: 5, 3: 4, 4: 3, 5: 2, 6: 1, 7: 0}
+    for d, (dr, dc) in enumerate(OFFSETS):
+        for i in range(6):
+            for j in range(8):
+                r, c = i + dr, j + dc
+                if 0 <= r < 6 and 0 <= c < 8:
+                    assert w[d, i, j] == w[opp[d], r, c]
+                else:
+                    assert w[d, i, j] == 0
+
+
+def test_unary_cost_formula():
+    I = np.array([[0.2, 0.6]])
+    U1, U2 = seg.unary_cost(I)
+    # at I = b = 0.6 the background cost hits its minimum; at I = f1 =
+    # 0.2 the foreground cost hits its minimum
+    assert U2[0, 0] < U2[0, 1]
+    assert U1[0, 1] < U1[0, 0]
+    assert np.all(U1 == np.round(U1))
+
+
+@pytest.fixture(scope="module")
+def seg_batch():
+    paths = seg.reference_image_paths()[:3]
+    prob = seg.load_problem(paths, num_nodes=400)
+    return prob
+
+
+def test_reference_images_load(seg_batch):
+    prob = seg_batch
+    assert prob.batch == 3
+    H, W = prob.grid
+    assert 300 <= int(prob.mask[0].sum()) <= 500
+
+
+def test_qp_plain_solve(seg_batch):
+    prob = seg_batch
+    state = qp.solve(prob, SEG_CONFIG, max_iters=2000, window=50)
+    sol = np.asarray(qp.solution(state))
+    assert set(np.unique(sol)).issubset({0.0, 1.0})
+    e = np.asarray(qp.energy(state, prob))
+    # energy must beat the trivial all-background labelling (x = 0,
+    # energy = c) -- the solver found structure
+    np.testing.assert_array_less(e, np.asarray(prob.const) + 1e-3)
+    # padding untouched
+    assert np.all(sol[~np.asarray(prob.mask)] == 0)
+
+
+def test_qp_matches_numpy_oracle(seg_batch):
+    """Cross-implementation agreement on one small image: independent
+    float64 dense implementation of the same math."""
+    prob = seg_batch
+    i = 0
+    msk = np.asarray(prob.mask[i])
+    H, W = prob.grid
+    weights = np.asarray(prob.stencil.weights[i])
+    b = np.asarray(prob.b[i], dtype=np.float64)
+    Wm = dense_from_stencil(weights)
+    valid = msk.reshape(-1)
+    A = np.diag(Wm.sum(1)) - Wm
+    A = A[np.ix_(valid, valid)]
+    bv = b.reshape(-1)[valid]
+    n = int(valid.sum())
+    cfg = SEG_CONFIG
+
+    x = np.zeros(n)
+    z1 = np.zeros(n)
+    z2 = np.zeros(n)
+    cur = 0.0
+    obj_hist = []
+    for it in range(2000):
+        k = it // cfg.rho_change_step
+        rho = min(cfg.initial_rho * cfg.learning_fact ** k,
+                  cfg.rho_upper_limit)
+        gamma = max(cfg.gamma0 * cfg.gamma_factor ** k, 1.0)
+        y1 = np.clip(x + z1 / rho, 0, 1)
+        s = x + z2 / rho - 0.5
+        y2 = s * np.sqrt(n) / (2 * max(np.linalg.norm(s), 1e-300)) + 0.5
+        rhs = rho * y1 + rho * y2 - (bv + z1 + z2)
+        M = 2 * A + 2 * rho * np.eye(n)
+        x = np.linalg.solve(M, rhs)
+        z1 += gamma * rho * (x - y1)
+        z2 += gamma * rho * (x - y2)
+        xn = max(np.linalg.norm(x), 2.2204e-16)
+        if np.linalg.norm(x - y1) / xn <= cfg.stop_threshold \
+                and np.linalg.norm(x - y2) / xn <= cfg.stop_threshold:
+            break
+        obj_hist.append(x @ (A @ x) + bv @ x)
+        if len(obj_hist) >= cfg.history_size:
+            w = np.array(obj_hist[-cfg.history_size:])
+            if np.std(w, ddof=1) / abs(w[-1]) <= cfg.std_threshold:
+                break
+    r = (x >= 0.5).astype(float)
+    oracle_energy = r @ (A @ r) + bv @ r + float(prob.const[i])
+
+    state = qp.solve(prob, cfg, max_iters=2000, window=50)
+    jx = float(qp.energy(state, prob)[i])
+    assert abs(jx - oracle_energy) / max(abs(oracle_energy), 1.0) < 0.05, \
+        (jx, oracle_energy, it)
+
+
+def test_qp_fix_math(seg_batch):
+    """Fixing pixels to the converged labels reproduces the oracle
+    energy -- validates the quadratic b_eff fold-in."""
+    prob = seg_batch
+    cfg = SEG_CONFIG
+    ds = imitation.build_dataset_qp(prob, cfg, record_iters=50)
+    H, W = prob.grid
+    labels = ds.labels.reshape(prob.batch, H, W)
+
+    state = qp.init_state(prob, cfg)
+    state, _ = qp.solve_window(state, prob, cfg, 20, record=False)
+    vec = jnp.where(prob.mask, labels, -1.0)
+    state = qp.apply_fix(state, prob, vec, cfg)
+    assert bool(jnp.all(state.done))
+    e = np.asarray(qp.energy(state, prob))
+    np.testing.assert_allclose(e, np.asarray(ds.oracle_obj), rtol=1e-5)
+
+
+def test_sliding_tokens():
+    rows = jnp.arange(20, dtype=jnp.float32).reshape(2, 10)
+    pcfg = PolicyConfig(node_size=5, chunk_dim=5, window_mode="sliding")
+    toks = l2f.traj_to_tokens(rows, pcfg)
+    assert toks.shape == (2, 5, 5)
+    np.testing.assert_allclose(np.asarray(toks[0, 0]), [0, 1, 2, 3, 4])
+    np.testing.assert_allclose(np.asarray(toks[0, 4]), [4, 5, 6, 7, 8])
+
+
+def test_seg_l2f_loop_runs(seg_batch):
+    """End-to-end seg l2f with an untrained policy at moderate
+    confidence: runs, fixes some pixels, produces a valid solution."""
+    prob = seg_batch
+    cfg = SEG_CONFIG
+    pcfg = PolicyConfig(net="mlp", node_size=5, chunk_dim=5,
+                        window_mode="sliding", fix_confidence=0.9)
+    model = build_policy("mlp")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 5)),
+                           train=True)
+    state = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=10,
+                          max_iter=30)
+    assert int(state.it) <= 30
+    sol = np.asarray(qp.solution(state))
+    assert set(np.unique(sol)).issubset({0.0, 1.0})
+
+
+def test_save_img(tmp_path, seg_batch):
+    prob = seg_batch
+    state = qp.solve(prob, SEG_CONFIG, max_iters=200, window=50)
+    sol = np.asarray(qp.solution(state))[0]
+    path = str(tmp_path / "out.png")
+    seg.save_img(sol, np.asarray(prob.mask[0]), path)
+    from PIL import Image
+    img = np.asarray(Image.open(path))
+    assert img.shape == sol.shape
+    assert set(np.unique(img)).issubset({0, 255})
