@@ -1,0 +1,164 @@
+"""Image-segmentation experiment driver.
+
+TPU equivalent of the reference's Segmentation silo entry points:
+
+* ``-phase solve`` ~ cython/src/image_segmentation.cpp main (:15-31):
+  plain batched solves of the shipped images at ~num_nodes pixels,
+  recording trajectories + the xiter_all.csv oracle and output PNGs.
+* ``-phase train`` ~ Segmentation/experiments/run.py -phase train:
+  imitation training on 5 episodes of ws=10 sliding windows.
+* ``-phase test``  ~ run.py -phase test -> _my_valid (trainer.py:
+  676-811): l2f eval, energy gap + per-pixel agreement, PNG outputs.
+
+Usage (presets mirror the reference: ws=10, ~1e4 px standard):
+  python experiments/run_seg.py -phase solve -n 8 -num_nodes 10000
+  python experiments/run_seg.py -phase train -net mha -ws 10
+  python experiments/run_seg.py -phase test -net mha -ws 10
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from lpbox_admm_tpu.utils.cmd_args import base_parser
+
+
+def parse_args():
+    p = base_parser("Segmentation BQP with learned early fixing")
+    p.set_defaults(ws=10)
+    p.add_argument("-n", type=int, default=8, help="number of images")
+    p.add_argument("-n_eval", type=int, default=2)
+    p.add_argument("-num_nodes", type=int, default=10_000,
+                   help="target pixel count (1e4 standard, 1e5 "
+                        "generalization)")
+    p.add_argument("-image_dir", default=None,
+                   help="defaults to the reference's shipped images")
+    p.add_argument("-result_dir", default="result")
+    p.add_argument("-max_eval_iters", type=int, default=30,
+                   help="l2f iteration budget (Seg trainer.py:705)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.save_dir == "saved_model":
+        args.save_dir = os.path.join("saved_model", "seg", args.net)
+    import jax
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.adapters import segmentation as seg
+    from lpbox_admm_tpu.config import SEG_CONFIG, PolicyConfig
+    from lpbox_admm_tpu.core import qp
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.train import imitation, l2f
+    from lpbox_admm_tpu.train.imitation import PolicyTrainer
+    from lpbox_admm_tpu.utils import io as uio
+
+    cfg = SEG_CONFIG
+    pcfg = PolicyConfig(net=args.net, node_size=5, chunk_dim=5,
+                        window_mode="sliding")
+    paths = (sorted(os.listdir(args.image_dir))
+             if args.image_dir else seg.reference_image_paths())
+    if args.image_dir:
+        paths = [os.path.join(args.image_dir, p) for p in paths]
+    paths = paths[:args.n]
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    prob = seg.load_problem(paths, num_nodes=args.num_nodes)
+
+    if args.phase == "solve":
+        t0 = time.time()
+        ds = imitation.build_dataset_qp(prob, cfg,
+                                        record_iters=5 * args.ws)
+        wall = time.time() - t0
+        xall = os.path.join(args.result_dir, "xiter_all.csv")
+        H, W = prob.grid
+        for i, p in enumerate(paths):
+            name = os.path.splitext(os.path.basename(p))[0]
+            uio.write_xiter_csv(
+                os.path.join(args.result_dir, f"{name}.csv"),
+                np.asarray(ds.traj[i]))
+            uio.append_allres(xall, int(name) if name.isdigit() else i,
+                              -float(ds.oracle_obj[i]),
+                              int(ds.oracle_iters), wall / len(paths))
+            seg.save_img(np.asarray(ds.labels[i]).reshape(H, W),
+                         np.asarray(prob.mask[i]),
+                         os.path.join(args.result_dir,
+                                      f"output_{name}.png"))
+        print(f"solved {len(paths)} images in {wall:.1f}s "
+              f"({int(ds.oracle_iters)} iters); mean energy "
+              f"{float(ds.oracle_obj.mean()):.1f}")
+        return
+
+    model = build_policy(args.net)
+    trainer = PolicyTrainer(model, pcfg, cfg, ws=args.ws,
+                            save_dir=args.save_dir)
+
+    n_train = args.n - args.n_eval
+    train_prob = seg.load_problem(paths[:n_train],
+                                  num_nodes=args.num_nodes)
+    eval_prob = seg.load_problem(paths[n_train:],
+                                 num_nodes=args.num_nodes)
+    train_ds = imitation.build_dataset_qp(train_prob, cfg,
+                                          record_iters=5 * args.ws)
+    eval_ds = imitation.build_dataset_qp(eval_prob, cfg,
+                                         record_iters=5 * args.ws)
+
+    if args.phase == "train":
+        ts = trainer.init(jax.random.PRNGKey(args.seed),
+                          jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim)))
+        best = None
+        for epoch in range(args.num_epochs):
+            ts, loss = trainer.train_epoch(ts, [train_ds], n_episodes=5)
+            state = l2f.l2f_solve(eval_prob, model,
+                                  trainer.variables(ts), cfg, pcfg,
+                                  ws=args.ws,
+                                  max_iter=args.max_eval_iters)
+            m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,
+                                   eval_ds.labels.reshape(
+                                       eval_prob.batch, *eval_prob.grid))
+            gap = float(np.mean(np.asarray(m["energy_gap"])))
+            print(f"epoch {epoch}: loss={loss:.5f} energy_gap={gap:+.4f}"
+                  f" fixed={np.asarray(m['n_fixed']).mean():.0f}px")
+            trainer.save(ts, epoch)
+            if best is None or gap < best:
+                best = gap
+                trainer.save(ts, epoch, best=True)
+        return
+
+    if args.phase == "test":
+        path = args.checkpoint or os.path.join(
+            args.save_dir, "checkpoint", "best_checkpoint.cp")
+        ts = trainer.load(path)
+        t0 = time.time()
+        state = l2f.l2f_solve(eval_prob, model, trainer.variables(ts),
+                              cfg, pcfg, ws=args.ws,
+                              max_iter=args.max_eval_iters)
+        jax.block_until_ready(state.x)
+        wall = time.time() - t0
+        m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,
+                               eval_ds.labels.reshape(
+                                   eval_prob.batch, *eval_prob.grid))
+        H, W = eval_prob.grid
+        sol = np.asarray(qp.solution(state))
+        for i, p in enumerate(paths[n_train:]):
+            name = os.path.splitext(os.path.basename(p))[0]
+            seg.save_img(sol[i], np.asarray(eval_prob.mask[i]),
+                         os.path.join(args.result_dir,
+                                      f"l2f_output_{name}.png"))
+        print(f"[plain] mean energy {float(eval_ds.oracle_obj.mean()):.1f} "
+              f"({int(eval_ds.oracle_iters)} iters)")
+        print(f"[l2f] energy gap "
+              f"{float(np.mean(np.asarray(m['energy_gap']))):+.4f}, "
+              f"iters {int(m['iterations'])}, "
+              f"fixed {np.asarray(m['n_fixed']).mean():.0f}px, "
+              f"pixel agreement "
+              f"{np.asarray(m['px_agree']).mean():.0f}, wall {wall:.2f}s")
+        return
+
+
+if __name__ == "__main__":
+    main()
