@@ -1,0 +1,97 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md section 4:
+the standard JAX fake-backend pattern for multi-chip logic)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lpbox_admm_tpu.adapters import ca
+from lpbox_admm_tpu.config import LP_CONFIG
+from lpbox_admm_tpu.core import lp
+from lpbox_admm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                          replicate_pytree,
+                                          shard_batch_pytree)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, jax.devices()
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def batch16():
+    rng = np.random.RandomState(3)
+    insts = [ca.generate_cauction(rng, n_items=12, n_bids=32)
+             for _ in range(16)]
+    return ca.make_problem(insts)
+
+
+def test_sharded_solve_matches_local(mesh, batch16):
+    """Solving a sharded batch gives the same result as unsharded --
+    instances are independent, the mesh only partitions them."""
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    local = lp.solve(batch16, cfg, max_iters=4000, window=50)
+
+    sharded_prob = shard_batch_pytree(batch16, mesh)
+    # verify placement actually sharded the batch axis
+    assert sharded_prob.E.sharding.is_equivalent_to(
+        batch_sharding(mesh), ndim=3)
+    sharded = lp.solve(sharded_prob, cfg, max_iters=4000, window=50)
+
+    np.testing.assert_allclose(np.asarray(lp.objective(local)),
+                               np.asarray(lp.objective(sharded)),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(local.done),
+                                  np.asarray(sharded.done))
+
+
+def test_dp_gradients_match_single_device(mesh, batch16):
+    """Data-parallel policy gradients (sharded batch, replicated params)
+    equal single-device gradients -- the jit-inserted psum is correct."""
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.train.imitation import weighted_bce
+
+    model = build_policy("mlp")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(64, 20, 5).astype(np.float32))
+    labels = jnp.asarray((rng.rand(64) > 0.5).astype(np.float32))
+    weight = jnp.ones((64,))
+    variables = model.init(jax.random.PRNGKey(0), x[:2], train=True)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+
+    def grads_of(params, x, labels, weight):
+        def loss_fn(p):
+            out, _ = model.apply({"params": p, "batch_stats": bstats},
+                                 x, train=True, mutable=["batch_stats"])
+            logits, _ = out
+            return weighted_bce(logits[:, 0], labels, weight)
+
+        return jax.grad(loss_fn)(params)
+
+    g_local = jax.jit(grads_of)(params, x, labels, weight)
+
+    bs = batch_sharding(mesh)
+    xs = jax.device_put(x, bs)
+    ls = jax.device_put(labels, bs)
+    wss = jax.device_put(weight, bs)
+    ps = replicate_pytree(params, mesh)
+    g_sharded = jax.jit(grads_of)(ps, xs, ls, wss)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        g_local, g_sharded)
+
+
+def test_graft_entry_points():
+    """The driver contract: entry() compiles; dryrun_multichip runs a
+    full dp training step on the 8-device mesh."""
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 1)
+    ge.dryrun_multichip(8)
