@@ -68,8 +68,13 @@ class LpState(NamedTuple):
     # Rule-based fixing counters
     x_prev: jnp.ndarray       # (B, n)
     fix_count: jnp.ndarray    # (B, n) int32 consistency counters
-    # Woodbury G^{-1} (zeros-shaped placeholder when linsolve == "cg")
-    ginv: jnp.ndarray         # (B, m, m)
+    # Cached constraint matvec of the current iterate: E @ (free * x).
+    # Carried across iterations so the y3 update re-uses the product the
+    # previous dual step already computed (one fewer pass over E).
+    ex: jnp.ndarray           # (B, m)
+    # Woodbury factors (zeros-shaped placeholders when linsolve == "cg")
+    ginv: jnp.ndarray         # (B, m, m) G^{-1}
+    eet: jnp.ndarray          # (B, m, m) E_f E_f^T
 
 
 def _wb_ratio(cfg: SolverConfig) -> float:
@@ -91,9 +96,11 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     y3 = prob.f - ex                      # (:720)
     cur_obj = jnp.sum(prob.b * x, axis=-1)  # best_bin_obj = b.x0 (:727)
     if cfg.linsolve == "woodbury":
-        ginv = woodbury.factorize(prob.E, free, _wb_ratio(cfg)).ginv
+        factor = woodbury.factorize(prob.E, free, _wb_ratio(cfg))
+        ginv, eet = factor.ginv, factor.eet
     else:
         ginv = jnp.zeros((B, 1, 1), dt)
+        eet = jnp.zeros((B, 1, 1), dt)
     return LpState(
         x=x, y1=x, y2=x, y3=y3, z1=zeros_n, z2=zeros_n, z4=z4,
         free=free, fixed_val=jnp.zeros((B, n), dt), f_eff=prob.f,
@@ -106,7 +113,7 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
         cur_obj=cur_obj, best_bin_obj=cur_obj, best_sol=x,
         x_prev=jnp.zeros((B, n), dt),
         fix_count=jnp.zeros((B, n), jnp.int32),
-        ginv=ginv,
+        ex=ex, ginv=ginv, eet=eet,
     )
 
 
@@ -142,9 +149,8 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     y1 = project_box(state.x + state.z1 / rho1)                     # :806-809
     y2 = project_shifted_lp_ball(state.x + state.z2 / rho2,
                                  cfg.projection_lp, mask=state.free)  # :815-818
-    ex = jnp.einsum("bmn,bn->bm", prob.E, free_f * state.x,
-                    preferred_element_type=jnp.float32, precision=HI)
-    y3 = project_nonneg(state.f_eff - ex - state.z4 / rho4)         # :824-828
+    # E @ (free * x) is cached from the previous dual step (state.ex)
+    y3 = project_nonneg(state.f_eff - state.ex - state.z4 / rho4)   # :824-828
 
     # --- x update (PCG or Woodbury) -------------------------------------
     # rhs = rho1 y1 + rho2 y2 - (b + z1 + z2) + E^T(rho4 (f_eff - y3) - z4)
@@ -170,16 +176,36 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
         raise ValueError(f"unknown linsolve {cfg.linsolve!r}; "
                          "expected 'cg' or 'woodbury'")
     if cfg.linsolve == "woodbury":
-        factor = woodbury.WoodburyFactor(ginv=state.ginv, ratio=_wb_ratio(cfg))
-        x_exact = woodbury.solve(factor, prob.E, state.free, rhs, rho1 + rho2)
-        # Reproduce PCG's warm-start early exit (cg.py / reference :204-209):
-        # if y1 already solves the system to pcg_tol the iterate *is* y1,
-        # which is what ultimately fires the ||x-y1|| stop.  Without this
-        # the exact solve hovers an O(1/rho) gap away from y1 forever.
-        r0 = rhs - matvec(x0)
+        # The iteration is HBM-bound on passes over E; the forward and
+        # transpose products are stacked so E streams from HBM 3x per
+        # iteration total (T: rhs assembly above; F: [rhs, x0];
+        # T: [u, E x0]) and E @ x_new is derived from the cached
+        # E_f E_f^T instead of a 4th pass.
+        fw = jnp.einsum("bmn,bkn->bkm", prob.E,
+                        jnp.stack([rhs, x0], axis=1),
+                        preferred_element_type=jnp.float32, precision=HI)
+        Erhs, Ex0 = fw[:, 0], fw[:, 1]
+        u = jnp.einsum("bmk,bk->bm", state.ginv, Erhs,
+                       preferred_element_type=jnp.float32, precision=HI)
+        tv = jnp.einsum("bmn,bkm->bkn", prob.E,
+                        jnp.stack([u, Ex0], axis=1),
+                        preferred_element_type=jnp.float32, precision=HI)
+        EtU, EtEx0 = tv[:, 0], tv[:, 1]
+        x_exact = free_f * (rhs - EtU) / c
+        # PCG's warm-start early exit (cg.py / reference :204-209): if y1
+        # already solves the system to pcg_tol the iterate *is* y1, which
+        # is what ultimately fires the ||x-y1|| stop.  Without this the
+        # exact solve hovers an O(1/rho) gap away from y1 forever.
+        Mx0 = free_f * (c * x0 + rho4 * EtEx0)
+        r0 = rhs - Mx0
         keep = jnp.sum(r0 * r0, axis=-1) \
             < (cfg.pcg_tol ** 2) * jnp.sum(rhs * rhs, axis=-1)
         x_new = jnp.where(keep[:, None], x0, x_exact)
+        # E @ x_exact = (E rhs - (E_f E_f^T) u) / c  -- no pass over E
+        Ex_exact = (Erhs - jnp.einsum(
+            "bmk,bk->bm", state.eet, u,
+            preferred_element_type=jnp.float32, precision=HI)) / c
+        ex_branch = jnp.where(keep[:, None], Ex0, Ex_exact)
     else:
         diag = jnp.where(state.free, c + rho4 * _esq_diag(prob.E, state.free),
                          1.0)
@@ -193,8 +219,12 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     # --- dual ascent -----------------------------------------------------
     z1 = state.z1 + gamma * rho1 * free_f * (x - y1)                # :917
     z2 = state.z2 + gamma * rho2 * free_f * (x - y2)                # :918
-    ex_new = jnp.einsum("bmn,bn->bm", prob.E, free_f * x,
-                        preferred_element_type=jnp.float32, precision=HI)
+    if cfg.linsolve == "woodbury":
+        ex_new = jnp.where(act_n & ~failed[:, None], ex_branch, state.ex)
+    else:
+        ex_new = jnp.einsum("bmn,bn->bm", prob.E, free_f * x,
+                            preferred_element_type=jnp.float32,
+                            precision=HI)
     z4 = state.z4 + gamma * rho4 * (ex_new + y3 - state.f_eff)      # :919-924
 
     # --- convergence -----------------------------------------------------
@@ -242,6 +272,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
         x=upd(x, state.x), y1=upd(y1, state.y1), y2=upd(y2, state.y2),
         y3=updm(y3, state.y3),
         z1=upd(z1, state.z1), z2=upd(z2, state.z2), z4=updm(z4, state.z4),
+        ex=jnp.where(act_n, ex_new, state.ex),
         obj_ring=obj_ring, obj_count=obj_count,
         it=it + 1,
         done=state.done | newly_done,
@@ -320,17 +351,22 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
     empty = jnp.sum(free, axis=-1) == 0
     done = state.done | (do & (empty | (x_free_norm < 1e-3)))
 
+    ex = jnp.einsum("bmn,bn->bm", prob.E, free_f * state.x,
+                    preferred_element_type=jnp.float32, precision=HI)
+    ex = jnp.where(do[:, None], ex, state.ex)
     if cfg.linsolve == "woodbury":
-        ginv = woodbury.factorize(prob.E, free, _wb_ratio(cfg)).ginv
-        ginv = jnp.where(do[:, None, None], ginv, state.ginv)
+        factor = woodbury.factorize(prob.E, free, _wb_ratio(cfg))
+        ginv = jnp.where(do[:, None, None], factor.ginv, state.ginv)
+        eet = jnp.where(do[:, None, None], factor.eet, state.eet)
     else:
         ginv = state.ginv
+        eet = state.eet
 
     return state._replace(
         free=free, fixed_val=fixed_val, f_eff=f_eff,
         sum_fix_obj=sum_fix_obj, done=done,
         x_prev=jnp.where(do[:, None], state.x, state.x_prev),   # :1225
-        ginv=ginv,
+        ex=ex, ginv=ginv, eet=eet,
     )
 
 

@@ -1,0 +1,274 @@
+"""Fused Pallas TPU kernel: a full LP ADMM window with VMEM-resident E.
+
+The batched LP iteration is HBM-bandwidth-bound: the XLA version streams
+the (B, m, n) constraint matrix from HBM three times per iteration
+(core/lp.py).  This kernel keeps an instance block's E (plus G^{-1} and
+all state vectors) resident in VMEM and runs the ENTIRE ``window``
+iterations inside one kernel launch -- E is read from HBM once per
+window instead of 3 x window times, a ~300x reduction in constraint-
+matrix traffic (pallas_guide.md: HBM -> VMEM -> compute).
+
+Per grid cell: a block of ``bt`` instances.  The contractions are
+written as VPU multiply-reduce over the (bt, m, n) block (per-instance
+mat-vecs have MXU width 1 and are better on the VPU).  Semantics match
+core/lp.step's woodbury path exactly: box/sphere projections, y3 slack,
+rhs assembly, exact Woodbury solve with the PCG warm-start early exit,
+dual ascent, y1/y2 + objective-std stopping with per-instance freezing.
+
+Memory budget per instance at (m, n) = (256, 512):
+E 512KB + G^{-1} 256KB + vectors ~25KB; bt = 8 fits comfortably in a
+16MB VMEM core.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SolverConfig
+
+_EPS = 2.2204e-16
+
+
+def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
+                   x_ref, z1_ref, z2_ref, z4_ref, feff_ref, free_ref,
+                   ring_ref, count_ref, done_ref, curobj_ref, it_ref,
+                   # outputs (aliased state + extras)
+                   x_out, z1_out, z2_out, z4_out, ring_out, count_out,
+                   done_out, curobj_out, y1_out, y2_out, y3_out, ex_out,
+                   *, cfg: SolverConfig, window: int, skip_cvg_at):
+    E = E_ref[...]
+    ginv = ginv_ref[...]
+    b = b_ref[...]
+    free = free_ref[...] > 0.5          # stored as f32 mask
+    free_f = free_ref[...]
+    f_eff = feff_ref[...]
+
+    n_act = jnp.sum(free_f, axis=-1, keepdims=True)
+    sqrt_n = jnp.sqrt(n_act)
+    tol2 = cfg.pcg_tol * cfg.pcg_tol
+
+    def fwd(v):
+        # E @ v per instance: (bt, m, n) * (bt, 1, n) -> (bt, m)
+        return jnp.sum(E * v[:, None, :], axis=-1)
+
+    def tps(w):
+        # E^T @ w per instance: (bt, m, n) * (bt, m, 1) -> (bt, n)
+        return jnp.sum(E * w[:, :, None], axis=1)
+
+    def body(t, carry):
+        (x, z1, z2, z4, ring, count, done, cur_obj,
+         y1c, y2c, y3c, exc) = carry
+        it = it_ref[0] + t
+        kf = (it // cfg.rho_change_step).astype(jnp.float32)
+        rho = cfg.initial_rho * jnp.power(
+            jnp.float32(cfg.learning_fact), kf)
+        if cfg.rho_upper_limit is not None:
+            rho = jnp.minimum(rho, cfg.rho_upper_limit)
+        gamma = jnp.maximum(
+            cfg.gamma0 * jnp.power(jnp.float32(cfg.gamma_factor), kf), 1.0)
+        rho1 = rho2 = rho4 = rho
+        c = rho1 + rho2
+
+        active = ~done
+        act = active[:, None]
+
+        # --- y updates ------------------------------------------------
+        y1 = jnp.clip(x + z1 / rho1, 0.0, 1.0)
+        shift = jnp.where(free, x + z2 / rho2 - 0.5, 0.0)
+        nrm = jnp.sqrt(jnp.sum(shift * shift, axis=-1, keepdims=True))
+        y2 = shift * sqrt_n / (2.0 * jnp.maximum(nrm, _EPS)) + 0.5
+        y2 = jnp.where(free, y2, x)
+        y3 = jnp.maximum(f_eff - exc - z4 / rho4, 0.0)
+
+        # --- rhs + Woodbury exact solve -------------------------------
+        et_term = tps(rho4 * (f_eff - y3) - z4)
+        rhs = free_f * (rho1 * y1 + rho2 * y2 - (b + z1 + z2) + et_term)
+        x0 = free_f * y1
+        Erhs = fwd(rhs)
+        Ex0 = fwd(x0)
+        u = jnp.sum(ginv * Erhs[:, None, :], axis=-1)
+        EtU = tps(u)
+        EtEx0 = tps(Ex0)
+        x_exact = free_f * (rhs - EtU) / c
+        # PCG warm-start early exit (reference :204-209 semantics)
+        Mx0 = free_f * (c * x0 + rho4 * EtEx0)
+        r0 = rhs - Mx0
+        keep = jnp.sum(r0 * r0, axis=-1) \
+            < tol2 * jnp.sum(rhs * rhs, axis=-1)
+        x_new = jnp.where(keep[:, None], x0, x_exact)
+        x_new = jnp.where(act, x_new, x)
+        ex_new = fwd(x_new)
+        ex_new = jnp.where(act, ex_new, exc)
+
+        # --- dual ascent ----------------------------------------------
+        z1n = z1 + gamma * rho1 * free_f * (x_new - y1)
+        z2n = z2 + gamma * rho2 * free_f * (x_new - y2)
+        z4n = z4 + gamma * rho4 * (ex_new + y3 - f_eff)
+
+        # --- convergence ----------------------------------------------
+        xn = jnp.maximum(jnp.sqrt(jnp.sum(
+            jnp.where(free, x_new * x_new, 0.0), axis=-1)), _EPS)
+        d1 = jnp.where(free, x_new - y1, 0.0)
+        d2 = jnp.where(free, x_new - y2, 0.0)
+        c1 = jnp.sqrt(jnp.sum(d1 * d1, axis=-1)) / xn
+        c2 = jnp.sqrt(jnp.sum(d2 * d2, axis=-1)) / xn
+        cvg = (c1 <= cfg.stop_threshold) & (c2 <= cfg.stop_threshold)
+        if skip_cvg_at is not None:
+            cvg = cvg & (it != skip_cvg_at)
+
+        obj_val = jnp.sum(b * free_f * x_new, axis=-1)
+        push = active & ~cvg
+        H = cfg.history_size
+        slot = jnp.mod(count, H)
+        onehot = slot[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, H), 1)
+        ring_n = jnp.where(push[:, None] & onehot, obj_val[:, None], ring)
+        count_n = count + push.astype(jnp.int32)
+        mean = jnp.mean(ring_n, axis=-1, keepdims=True)
+        var = jnp.sum((ring_n - mean) ** 2, axis=-1) / (H - 1)
+        rel = jnp.sqrt(var) / jnp.maximum(jnp.abs(obj_val), _EPS)
+        rel = jnp.where(count_n >= H, rel, 1.0)
+        std_stop = push & (rel <= cfg.std_threshold)
+        newly_done = active & (cvg | std_stop)
+
+        track = active & ~newly_done
+        rounded = free_f * (x_new >= 0.5).astype(x.dtype)
+        obj_bin = jnp.sum(b * rounded, axis=-1)
+        cur_obj_n = jnp.where(track, obj_bin, cur_obj)
+
+        upd = lambda new, old: jnp.where(act, new, old)
+        return (upd(x_new, x), upd(z1n, z1), upd(z2n, z2),
+                jnp.where(act, z4n, z4),
+                ring_n, count_n, done | newly_done, cur_obj_n,
+                upd(y1, y1c), upd(y2, y2c), jnp.where(act, y3, y3c),
+                ex_new)
+
+    ex0 = fwd(free_f * x_ref[...])
+    carry = (x_ref[...], z1_ref[...], z2_ref[...], z4_ref[...],
+             ring_ref[...], count_ref[...], done_ref[...] > 0.5,
+             curobj_ref[...], x_ref[...], x_ref[...], feff_ref[...], ex0)
+    carry = jax.lax.fori_loop(0, window, body, carry)
+    (x, z1, z2, z4, ring, count, done, cur_obj, y1, y2, y3, ex) = carry
+    x_out[...] = x
+    z1_out[...] = z1
+    z2_out[...] = z2
+    z4_out[...] = z4
+    ring_out[...] = ring
+    count_out[...] = count
+    done_out[...] = done.astype(jnp.float32)
+    curobj_out[...] = cur_obj
+    y1_out[...] = y1
+    y2_out[...] = y2
+    y3_out[...] = y3
+    ex_out[...] = ex
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window", "bt",
+                                             "skip_cvg_at", "interpret"))
+def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
+                    bt: int = 8, skip_cvg_at: Optional[int] = None,
+                    interpret: bool = False):
+    """Run ``window`` woodbury-mode ADMM iterations via the fused kernel.
+
+    Drop-in faster equivalent of ``core.lp.solve_window(record=False)``
+    for the plain-solve hot path (trajectory recording stays on the XLA
+    path).  Requires ``cfg.linsolve == 'woodbury'``.
+    """
+    from ..core.lp import LpState
+
+    assert cfg.linsolve == "woodbury"
+    B, m, n = prob.E.shape
+    assert B % bt == 0, (B, bt)
+    grid = (B // bt,)
+
+    def bs(shape_tail):
+        rank = len(shape_tail)
+        return pl.BlockSpec((bt,) + shape_tail,
+                            lambda i: (i,) + (0,) * rank,
+                            memory_space=pltpu.VMEM)
+
+    H = cfg.history_size
+    kernel = functools.partial(_window_kernel, cfg=cfg, window=window,
+                               skip_cvg_at=skip_cvg_at)
+    free_f = state.free.astype(jnp.float32)
+    done_f = state.done.astype(jnp.float32)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, n), jnp.float32),   # x
+        jax.ShapeDtypeStruct((B, n), jnp.float32),   # z1
+        jax.ShapeDtypeStruct((B, n), jnp.float32),   # z2
+        jax.ShapeDtypeStruct((B, m), jnp.float32),   # z4
+        jax.ShapeDtypeStruct((B, H), jnp.float32),   # ring
+        jax.ShapeDtypeStruct((B,), jnp.int32),       # count
+        jax.ShapeDtypeStruct((B,), jnp.float32),     # done
+        jax.ShapeDtypeStruct((B,), jnp.float32),     # cur_obj
+        jax.ShapeDtypeStruct((B, n), jnp.float32),   # y1
+        jax.ShapeDtypeStruct((B, n), jnp.float32),   # y2
+        jax.ShapeDtypeStruct((B, m), jnp.float32),   # y3
+        jax.ShapeDtypeStruct((B, m), jnp.float32),   # ex
+    ]
+    in_specs = [
+        bs((m, n)),   # E
+        bs((m, m)),   # ginv
+        bs((n,)),     # b
+        bs((n,)),     # vmask
+        bs((n,)),     # x
+        bs((n,)),     # z1
+        bs((n,)),     # z2
+        bs((m,)),     # z4
+        bs((m,)),     # f_eff
+        bs((n,)),     # free
+        bs((H,)),     # ring
+        bs(()),       # count
+        bs(()),       # done
+        bs(()),       # cur_obj
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # it (scalar)
+    ]
+    out_specs = [bs(x.shape[1:]) for x in out_shapes]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(prob.E, state.ginv, prob.b, prob.var_mask.astype(jnp.float32),
+      state.x, state.z1, state.z2, state.z4, state.f_eff, free_f,
+      state.obj_ring, state.obj_count, done_f, state.cur_obj,
+      jnp.array([state.it], jnp.int32))
+
+    (x, z1, z2, z4, ring, count, done, cur_obj, y1, y2, y3, ex) = outs
+    return state._replace(
+        x=x, y1=y1, y2=y2, y3=y3, z1=z1, z2=z2, z4=z4,
+        obj_ring=ring, obj_count=count,
+        it=state.it + window,
+        done=done > 0.5, cur_obj=cur_obj, ex=ex)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iters", "window",
+                                             "bt", "interpret"))
+def solve_fused(prob, cfg: SolverConfig, max_iters: Optional[int] = None,
+                window: int = 100, bt: int = 8,
+                interpret: bool = False):
+    """Plain full solve using the fused window kernel."""
+    from ..core import lp as lp_core
+
+    if max_iters is None:
+        max_iters = cfg.max_iters
+    state = lp_core.init_state(prob, cfg)
+
+    def cond(s):
+        return jnp.logical_and(s.it < max_iters, ~jnp.all(s.done))
+
+    def body(s):
+        return lp_window_fused(s, prob, cfg, window, bt=bt,
+                               skip_cvg_at=0, interpret=interpret)
+
+    return jax.lax.while_loop(cond, body, state)
