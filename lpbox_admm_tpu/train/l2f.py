@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PolicyConfig, SolverConfig
-from ..core import lp, qp
+from ..core import general, lp, qp
 from ..core.problem import LpProblem
 
 
@@ -81,7 +81,11 @@ def scores_to_vec(sig: jnp.ndarray, confidence: float) -> jnp.ndarray:
 
 
 def _core_of(problem) -> object:
-    return lp if isinstance(problem, LpProblem) else qp
+    if isinstance(problem, LpProblem):
+        return lp
+    if isinstance(problem, general.GeneralProblem):
+        return general
+    return qp
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "pcfg", "ws",
