@@ -72,3 +72,33 @@ def test_solver_log(tmp_path):
     assert "Iteration: 1" in text
     assert "norm of x_sol" in text
     assert "Stop because y1_y2" in text
+
+
+def test_solver_state_checkpoint_resume(tmp_path):
+    """Interrupt a batched solve, checkpoint the state pytree, restore,
+    resume: identical to the uninterrupted solve."""
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+    from lpbox_admm_tpu.utils.checkpoint import (load_meta, load_pytree,
+                                                 save_pytree)
+
+    rng = np.random.RandomState(2)
+    prob = ca.make_problem([ca.generate_cauction(rng, 10, 30)
+                            for _ in range(2)])
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+
+    st = lp.init_state(prob, cfg)
+    st, _ = lp.solve_window(st, prob, cfg, 40, record=False)
+    path = str(tmp_path / "solver_state.ckpt")
+    save_pytree(path, st, meta={"it": int(st.it)})
+    assert load_meta(path)["it"] == 40
+
+    st2 = load_pytree(path, lp.init_state(prob, cfg))
+    assert int(st2.it) == 40
+    a, _ = lp.solve_window(st, prob, cfg, 40, record=False)
+    b, _ = lp.solve_window(st2, prob, cfg, 40, record=False)
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_allclose(np.asarray(lp.objective(a)),
+                               np.asarray(lp.objective(b)))
