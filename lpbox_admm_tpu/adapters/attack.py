@@ -370,3 +370,53 @@ def attack_with_search(model, variables, images, target, Bmask,
     # attack success rate and mean norms (main_mha.py:190-196)
     best["asr"] = float(ever_success.mean())
     return best
+
+
+def compute_sensitive(image: np.ndarray, weight_type: str = "none"
+                      ) -> np.ndarray:
+    """Noise sensitivity weighting (compute_sensitive, utils.py:144-192).
+
+    ``image`` is (C, H, W) in [0, 1].  Types: 'none' (ones), 'gradient'
+    (Prewitt magnitude), 'variance', 'variance_mean', 'contrast',
+    'contrast_mean' over 3x3 neighbourhoods; non-'none' weights are
+    inverted (1/(w+1e-4)) and min-max normalised per channel.
+    """
+    C, H, W = image.shape
+    if weight_type == "none":
+        return np.ones_like(image, dtype=np.float32)
+
+    w = np.ones_like(image, dtype=np.float64)
+    if weight_type == "gradient":
+        from scipy.ndimage import prewitt
+
+        im = image.transpose(1, 2, 0)
+        gx = prewitt(im, axis=1)
+        gy = prewitt(im, axis=0)
+        w = np.sqrt(gx ** 2 + gy ** 2).transpose(2, 0, 1)
+    else:
+        for i in range(H):
+            for j in range(W):
+                up, down = max(i - 1, 0), min(i + 2, H)
+                left, right = max(j - 1, 0), min(j + 2, W)
+                for k in range(C):
+                    patch = image[k, up:down, left:right]
+                    if weight_type == "variance":
+                        v = patch.std(ddof=1)
+                    elif weight_type == "variance_mean":
+                        v = patch.std(ddof=1) * patch.mean()
+                    elif weight_type == "contrast":
+                        den = patch.max() + patch.min()
+                        v = (patch.max() - patch.min()) / den if den else np.nan
+                    elif weight_type == "contrast_mean":
+                        den = patch.max() + patch.min()
+                        v = ((patch.max() - patch.min()) / den * patch.mean()
+                             if den else np.nan)
+                    else:
+                        raise ValueError(
+                            f"unknown weight_type {weight_type!r}")
+                    w[k, i, j] = 1e-4 if np.isnan(v) else v
+    w = 1.0 / (w + 1e-4)
+    for k in range(C):
+        mn, mx = w[k].min(), w[k].max()
+        w[k] = (w[k] - mn) / (mx - mn if mx > mn else 1.0)
+    return w.astype(np.float32)

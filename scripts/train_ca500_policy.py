@@ -22,6 +22,7 @@ def main():
     ap.add_argument("-n_eval", type=int, default=8)
     ap.add_argument("-batch", type=int, default=8)
     ap.add_argument("-epochs", type=int, default=30)
+    ap.add_argument("-eval_every", type=int, default=5)
     ap.add_argument("-seed", type=int, default=19260817)
     ap.add_argument("-out", default="checkpoints")
     args = ap.parse_args()
@@ -63,9 +64,25 @@ def main():
                                       save_dir=save_dir)
     ts = trainer.init(jax.random.PRNGKey(args.seed % (2 ** 31)),
                       jnp.zeros((2, 20, 5)))
-    trainer.train(ts, datasets, eval_prob, eval_ds,
-                  num_epochs=args.epochs,
-                  log=lambda m: print(m, flush=True))
+    best_gap = None
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        ts, loss = trainer.train_epoch(ts, datasets)
+        msg = f"epoch {epoch}: loss={loss:.5f} ({time.time()-t0:.0f}s)"
+        # the full l2f eval is expensive; run it every eval_every epochs
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            m = trainer.evaluate(ts, eval_prob, eval_ds)
+            gap = m["mean_obj_gap"]
+            msg += (f" obj_gap={gap:+.4f} "
+                    f"speedup={m['iter_speedup']:.2f}x "
+                    f"fixed={m['n_fixed'].mean():.0f} "
+                    f"errors={m['fix_errors'].mean():.1f}")
+            trainer.save(ts, epoch)
+            if best_gap is None or gap < best_gap:
+                best_gap = gap
+                trainer.save(ts, epoch, best=True)
+        print(msg, flush=True)
+    trainer.save(ts, args.epochs - 1)
     print("done", flush=True)
 
 

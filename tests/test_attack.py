@@ -192,3 +192,25 @@ def test_attack_l2f_policy_path(small_attack_setup):
         policy_variables=pvars, pcfg=pcfg)
     G = np.asarray(res["G"])
     assert set(np.unique(G)).issubset({0.0, 1.0})
+
+
+def test_compute_sensitive_types():
+    rng = np.random.RandomState(0)
+    img = rng.rand(3, 8, 8).astype(np.float32)
+    ones = attack.compute_sensitive(img, "none")
+    np.testing.assert_allclose(ones, 1.0)
+    for wt in ["variance", "variance_mean", "contrast", "contrast_mean"]:
+        w = attack.compute_sensitive(img, wt)
+        assert w.shape == img.shape
+        assert np.all((w >= 0) & (w <= 1)), wt
+        # per-channel min-max normalisation spans [0, 1]
+        for k in range(3):
+            assert w[k].min() == 0.0 and w[k].max() == 1.0
+    try:
+        import scipy  # noqa: F401
+        w = attack.compute_sensitive(img, "gradient")
+        assert np.all((w >= 0) & (w <= 1))
+    except ImportError:
+        pass
+    with pytest.raises(ValueError):
+        attack.compute_sensitive(img, "bogus")
