@@ -249,14 +249,18 @@ def main():
 
     xla_ips, objs, _ = run_solver(
         "xla", lambda p: lp.solve(p, cfg, window=100), prob, base)
-    try:
-        fused_ips, fobjs, _ = run_solver(
-            "pallas-fused",
-            lambda p: pallas_lp.solve_fused(p, cfg, window=100, bt=8),
-            prob, base)
-    except Exception as e:
-        log(f"pallas-fused failed: {type(e).__name__}: {e}")
-        fused_ips, fobjs = 0.0, objs
+    fused_ips = 0.0
+    for bt in (8, 4, 2):
+        try:
+            fused_ips, fobjs, _ = run_solver(
+                f"pallas-fused(bt={bt})",
+                lambda p: pallas_lp.solve_fused(p, cfg, window=100,
+                                                bt=bt),
+                prob, base)
+            break
+        except Exception as e:
+            log(f"pallas-fused(bt={bt}) failed: "
+                f"{type(e).__name__}: {str(e)[:200]}")
 
     best_ips = max(xla_ips, fused_ips)
     bench_l2f(prob, objs)

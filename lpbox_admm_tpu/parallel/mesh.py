@@ -54,3 +54,28 @@ def shard_batch_pytree(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
 def replicate_pytree(tree: Any, mesh: Mesh) -> Any:
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), tree)
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host initialization (jax.distributed) for pod-slice runs.
+
+    On Cloud TPU pods the arguments are auto-detected; pass them
+    explicitly for manual clusters.  After this, ``make_mesh()`` over
+    ``jax.devices()`` spans the whole slice and the data-parallel
+    sharding in this module scales across hosts (batch metrics and
+    policy gradients ride ICI via jit-inserted collectives; SURVEY.md
+    section 2.4 notes the reference has no distributed path at all).
+    """
+    import jax
+
+    kw = {}
+    if coordinator is not None:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+    return jax.devices()
