@@ -64,18 +64,24 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
     def body(t, carry):
         (x, z1, z2, z4, ring, count, done, cur_obj,
          y1c, y2c, y3c, exc) = carry
+        # count/done/cur_obj are carried as (bt, 1) -- TPU Pallas
+        # requires rank-2 blocks; squeeze views for row-wise logic
+        done_r = done[:, 0] > 0.5
+        count_r = count[:, 0]
         it = it_ref[0] + t
         kf = (it // cfg.rho_change_step).astype(jnp.float32)
-        rho = cfg.initial_rho * jnp.power(
-            jnp.float32(cfg.learning_fact), kf)
+        # Mosaic cannot lower powf; use exp(k * log(base))
+        import math
+        rho = cfg.initial_rho * jnp.exp(
+            kf * math.log(cfg.learning_fact))
         if cfg.rho_upper_limit is not None:
             rho = jnp.minimum(rho, cfg.rho_upper_limit)
         gamma = jnp.maximum(
-            cfg.gamma0 * jnp.power(jnp.float32(cfg.gamma_factor), kf), 1.0)
+            cfg.gamma0 * jnp.exp(kf * math.log(cfg.gamma_factor)), 1.0)
         rho1 = rho2 = rho4 = rho
         c = rho1 + rho2
 
-        active = ~done
+        active = ~done_r
         act = active[:, None]
 
         # --- y updates ------------------------------------------------
@@ -125,11 +131,11 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
         obj_val = jnp.sum(b * free_f * x_new, axis=-1)
         push = active & ~cvg
         H = cfg.history_size
-        slot = jnp.mod(count, H)
+        slot = jnp.mod(count_r, H)
         onehot = slot[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, H), 1)
         ring_n = jnp.where(push[:, None] & onehot, obj_val[:, None], ring)
-        count_n = count + push.astype(jnp.int32)
+        count_n = count_r + push.astype(jnp.int32)
         mean = jnp.mean(ring_n, axis=-1, keepdims=True)
         var = jnp.sum((ring_n - mean) ** 2, axis=-1) / (H - 1)
         rel = jnp.sqrt(var) / jnp.maximum(jnp.abs(obj_val), _EPS)
@@ -140,18 +146,21 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
         track = active & ~newly_done
         rounded = free_f * (x_new >= 0.5).astype(x.dtype)
         obj_bin = jnp.sum(b * rounded, axis=-1)
-        cur_obj_n = jnp.where(track, obj_bin, cur_obj)
+        cur_obj_n = jnp.where(track, obj_bin, cur_obj[:, 0])
 
         upd = lambda new, old: jnp.where(act, new, old)
+        done_n = done_r | newly_done
         return (upd(x_new, x), upd(z1n, z1), upd(z2n, z2),
                 jnp.where(act, z4n, z4),
-                ring_n, count_n, done | newly_done, cur_obj_n,
+                ring_n, count_n[:, None],
+                done_n[:, None].astype(jnp.float32),
+                cur_obj_n[:, None],
                 upd(y1, y1c), upd(y2, y2c), jnp.where(act, y3, y3c),
                 ex_new)
 
     ex0 = fwd(free_f * x_ref[...])
     carry = (x_ref[...], z1_ref[...], z2_ref[...], z4_ref[...],
-             ring_ref[...], count_ref[...], done_ref[...] > 0.5,
+             ring_ref[...], count_ref[...], done_ref[...],
              curobj_ref[...], x_ref[...], x_ref[...], feff_ref[...], ex0)
     carry = jax.lax.fori_loop(0, window, body, carry)
     (x, z1, z2, z4, ring, count, done, cur_obj, y1, y2, y3, ex) = carry
@@ -161,7 +170,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
     z4_out[...] = z4
     ring_out[...] = ring
     count_out[...] = count
-    done_out[...] = done.astype(jnp.float32)
+    done_out[...] = done
     curobj_out[...] = cur_obj
     y1_out[...] = y1
     y2_out[...] = y2
@@ -205,9 +214,9 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         jax.ShapeDtypeStruct((B, n), jnp.float32),   # z2
         jax.ShapeDtypeStruct((B, m), jnp.float32),   # z4
         jax.ShapeDtypeStruct((B, H), jnp.float32),   # ring
-        jax.ShapeDtypeStruct((B,), jnp.int32),       # count
-        jax.ShapeDtypeStruct((B,), jnp.float32),     # done
-        jax.ShapeDtypeStruct((B,), jnp.float32),     # cur_obj
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),     # count
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),   # done
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),   # cur_obj
         jax.ShapeDtypeStruct((B, n), jnp.float32),   # y1
         jax.ShapeDtypeStruct((B, n), jnp.float32),   # y2
         jax.ShapeDtypeStruct((B, m), jnp.float32),   # y3
@@ -225,9 +234,9 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         bs((m,)),     # f_eff
         bs((n,)),     # free
         bs((H,)),     # ring
-        bs(()),       # count
-        bs(()),       # done
-        bs(()),       # cur_obj
+        bs((1,)),     # count
+        bs((1,)),     # done
+        bs((1,)),     # cur_obj
         pl.BlockSpec(memory_space=pltpu.SMEM),  # it (scalar)
     ]
     out_specs = [bs(x.shape[1:]) for x in out_shapes]
@@ -241,15 +250,15 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         interpret=interpret,
     )(prob.E, state.ginv, prob.b, prob.var_mask.astype(jnp.float32),
       state.x, state.z1, state.z2, state.z4, state.f_eff, free_f,
-      state.obj_ring, state.obj_count, done_f, state.cur_obj,
-      jnp.array([state.it], jnp.int32))
+      state.obj_ring, state.obj_count[:, None], done_f[:, None],
+      state.cur_obj[:, None], jnp.array([state.it], jnp.int32))
 
     (x, z1, z2, z4, ring, count, done, cur_obj, y1, y2, y3, ex) = outs
     return state._replace(
         x=x, y1=y1, y2=y2, y3=y3, z1=z1, z2=z2, z4=z4,
-        obj_ring=ring, obj_count=count,
+        obj_ring=ring, obj_count=count[:, 0],
         it=state.it + window,
-        done=done > 0.5, cur_obj=cur_obj, ex=ex)
+        done=done[:, 0] > 0.5, cur_obj=cur_obj[:, 0], ex=ex)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_iters", "window",
