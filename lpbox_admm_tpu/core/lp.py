@@ -436,3 +436,99 @@ def solve(prob: LpProblem, cfg: SolverConfig,
         return s
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def compact(state: LpState, prob: LpProblem, cfg: SolverConfig,
+            n_new: int, m_new: Optional[int] = None
+            ) -> Tuple[LpState, LpProblem, jnp.ndarray]:
+    """Physically shrink the problem to ``n_new`` columns and (optionally)
+    ``m_new`` constraint rows (bucketed).
+
+    The mask-based fixing keeps shapes static, so a masked iteration
+    still costs O(m * n) regardless of how many variables are fixed --
+    unlike the reference's physical shrink (:1124-1335) whose per-
+    iteration cost drops with n.  This restores that speedup the TPU
+    way: gather the free columns (plus enough fixed ones as padding)
+    into a smaller statically-shaped problem at a window boundary, and
+    drop constraint rows whose free-column support is empty (they no
+    longer couple to the remaining variables; their feasibility is
+    fully determined by the fixed values and re-checked on the original
+    problem at the end).  One recompile per bucket size, amortized
+    across the batch.
+
+    Returns (state', prob', orig_idx) where orig_idx (B, n_new) maps
+    compacted columns to original indices; use ``scatter_solution`` to
+    reassemble the full-width solution.  Requires every instance to
+    have at most ``n_new`` free variables (and, if ``m_new`` is given,
+    at most ``m_new`` rows with free support).
+    """
+    B, n = state.x.shape
+    order = jnp.argsort(~state.free, axis=-1, stable=True)   # free first
+    idx = order[:, :n_new]
+
+    def take(a):
+        return jnp.take_along_axis(a, idx, axis=-1)
+
+    E2 = jnp.take_along_axis(
+        prob.E, jnp.broadcast_to(idx[:, None, :],
+                                 (B, prob.m, n_new)), axis=-1)
+    free2 = take(state.free)
+    f2 = state.f_eff
+    rmask2 = prob.row_mask
+    y3_2, z4_2 = state.y3, state.z4
+    if m_new is not None and m_new < prob.m:
+        support = jnp.any(
+            (jnp.abs(E2) > 0) & free2[:, None, :], axis=-1) \
+            & prob.row_mask
+        rorder = jnp.argsort(~support, axis=-1, stable=True)
+        ridx = rorder[:, :m_new]
+
+        def rtake(a):
+            return jnp.take_along_axis(a, ridx, axis=-1)
+
+        E2 = jnp.take_along_axis(
+            E2, jnp.broadcast_to(ridx[:, :, None],
+                                 (B, m_new, n_new)), axis=1)
+        f2 = rtake(f2)
+        rmask2 = rtake(support)
+        y3_2 = rtake(y3_2)
+        z4_2 = rtake(z4_2)
+    prob2 = LpProblem(b=take(prob.b), E=E2, f=f2,
+                      row_mask=rmask2, var_mask=free2)
+    if cfg.linsolve == "woodbury":
+        factor = woodbury.factorize(E2, free2, _wb_ratio(cfg))
+        ginv2, eet2 = factor.ginv, factor.eet
+    else:
+        ginv2 = state.ginv
+        eet2 = state.eet
+    dt = state.x.dtype
+    ex2 = jnp.einsum("bmn,bn->bm", E2, free2.astype(dt) * take(state.x),
+                     preferred_element_type=jnp.float32, precision=HI)
+    state2 = state._replace(
+        x=take(state.x), y1=take(state.y1), y2=take(state.y2),
+        y3=y3_2, z4=z4_2, f_eff=f2,
+        z1=take(state.z1), z2=take(state.z2),
+        free=free2, fixed_val=take(state.fixed_val),
+        best_sol=take(state.best_sol), x_prev=take(state.x_prev),
+        fix_count=take(state.fix_count),
+        ex=ex2, ginv=ginv2, eet=eet2)
+    return state2, prob2, idx
+
+
+def scatter_solution(state_c: LpState, idx: jnp.ndarray,
+                     fixed_val_full: jnp.ndarray,
+                     free_full: jnp.ndarray) -> jnp.ndarray:
+    """Reassemble the full-width binary solution after compaction.
+
+    ``fixed_val_full``/``free_full`` are the full-width fixing snapshot
+    taken at compaction time; columns selected into the compacted
+    problem are overwritten by its solution (get_x_sol scatter,
+    reference :1648-1665).
+    """
+    sol_c = solution(state_c)
+    base = jnp.where(free_full, 0.0, fixed_val_full)
+
+    def put(b, i, v):
+        return b.at[i].set(v)
+
+    return jax.vmap(put)(base, idx, sol_c)

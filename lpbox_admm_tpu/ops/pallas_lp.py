@@ -281,3 +281,23 @@ def solve_fused(prob, cfg: SolverConfig, max_iters: Optional[int] = None,
                                skip_cvg_at=0, interpret=interpret)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iters", "window",
+                                             "bt", "interpret"))
+def solve_fused_from(state, prob, cfg: SolverConfig,
+                     max_iters: Optional[int] = None, window: int = 100,
+                     bt: int = 8, interpret: bool = False):
+    """Continue an existing solve to convergence with the fused kernel
+    (used after l2f compaction for the residual problem)."""
+    if max_iters is None:
+        max_iters = cfg.max_iters
+
+    def cond(s):
+        return jnp.logical_and(s.it < max_iters, ~jnp.all(s.done))
+
+    def body(s):
+        return lp_window_fused(s, prob, cfg, window, bt=bt,
+                               interpret=interpret)
+
+    return jax.lax.while_loop(cond, body, state)

@@ -154,12 +154,17 @@ class PolicyTrainer:
 
     def __init__(self, model, pcfg: PolicyConfig,
                  cfg: SolverConfig = LP_CONFIG, ws: int = 100,
-                 save_dir: Optional[str] = None):
+                 save_dir: Optional[str] = None,
+                 micro_rows: int = 16384):
         self.model = model
         self.pcfg = pcfg
         self.cfg = cfg
         self.ws = ws
         self.save_dir = save_dir
+        # microbatch size for gradient accumulation: the MHA's (node,
+        # node) attention tiles pad badly on TPU, so large episode
+        # batches are chunked row-wise
+        self.micro_rows = micro_rows
         schedule = optax.exponential_decay(
             pcfg.lr, transition_steps=pcfg.lr_decay_step,
             decay_rate=pcfg.lr_decay_factor, staircase=True)
@@ -181,18 +186,52 @@ class PolicyTrainer:
         return v
 
     def _train_step_impl(self, ts: TrainState, x, labels, weight):
-        def loss_fn(params):
+        R = x.shape[0]
+        n_total = jnp.float32(R)
+
+        def chunk_loss(params, stats, xc, lc, wc):
             variables = {"params": params}
-            if ts.batch_stats:
-                variables["batch_stats"] = ts.batch_stats
+            if stats:
+                variables["batch_stats"] = stats
             out, mutated = self.model.apply(
-                variables, x, train=True, mutable=["batch_stats"])
+                variables, xc, train=True, mutable=["batch_stats"])
             logits, _ = out
-            loss = weighted_bce(logits[:, 0], labels, weight)
+            bce = weighted_bce(logits[:, 0], lc, wc)
+            # scale so the sum over chunks equals the full-batch mean
+            loss = bce * (xc.shape[0] / n_total)
             return loss, mutated.get("batch_stats", {})
 
-        (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(ts.params)
+        if R <= self.micro_rows:
+            (loss, new_stats), grads = jax.value_and_grad(
+                chunk_loss, has_aux=True)(ts.params, ts.batch_stats,
+                                          x, labels, weight)
+        else:
+            # gradient accumulation over row chunks (the padded
+            # attention activations of the full batch OOM on TPU)
+            pad = (-R) % self.micro_rows
+            xc = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+            lc = jnp.pad(labels, (0, pad))
+            wc = jnp.pad(weight, (0, pad))   # pad rows carry 0 weight
+            k = xc.shape[0] // self.micro_rows
+            xc = xc.reshape(k, self.micro_rows, *x.shape[1:])
+            lc = lc.reshape(k, self.micro_rows)
+            wc = wc.reshape(k, self.micro_rows)
+
+            def body(carry, inp):
+                loss_acc, grads_acc, stats = carry
+                xi, li, wi = inp
+                (l, new_stats), g = jax.value_and_grad(
+                    chunk_loss, has_aux=True)(ts.params, stats, xi, li,
+                                              wi)
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, grads_acc, g)
+                return (loss_acc + l, grads_acc, new_stats), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, ts.params)
+            (loss, grads, new_stats), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), zero_grads, ts.batch_stats),
+                (xc, lc, wc))
+
         updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         return TrainState(params=params, batch_stats=new_stats,

@@ -175,3 +175,114 @@ def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
         out["px_agree"] = jnp.sum((sol == labels) & prob.mask,
                                   axis=(-2, -1))
     return out
+
+
+def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
+                      pcfg: PolicyConfig, ws: int = 100,
+                      max_iter: Optional[int] = None,
+                      policy_windows: int = 5,
+                      min_bucket: int = 128, m_min_bucket: int = 64,
+                      use_fused: bool = False,
+                      interpret: bool = False):
+    """LP l2f solve with bucketed physical compaction.
+
+    Three phases, two host round trips (host-driven per-window loops
+    are latency-bound over remote TPU links):
+
+    1. POLICY phase (one jit): up to ``policy_windows`` windows of
+       [ws solver iterations -> policy scoring -> mask fixing] in a
+       device-side while_loop -- the reference's policy fixes nearly
+       everything it ever will within the first few windows.
+    2. COMPACT (host): gather free columns and supported constraint
+       rows into power-of-two buckets (core.lp.compact) -- restores the
+       reference's shrinking per-iteration cost, the source of its
+       wall-clock speedup (SURVEY.md section 7 "hard parts").
+    3. RESIDUAL phase (one jit): run the small problem to convergence,
+       optionally with the fused Pallas kernel (``use_fused``).
+
+    Returns (final_state, dict) with the full-width binary solution,
+    objective, iterations, fixing counts and original-problem
+    feasibility.
+    """
+    import numpy as np
+
+    if max_iter is None:
+        max_iter = cfg.max_iters
+
+    orig_prob = prob
+    state = lp.init_state(prob, cfg)
+    B, n_full = state.x.shape
+
+    @functools.partial(jax.jit, static_argnames=())
+    def policy_phase(s, p):
+        def cond(c):
+            s, w = c
+            return (w < policy_windows) & ~jnp.all(s.done) \
+                & (s.it < max_iter)
+
+        def body(c):
+            s, w = c
+            s, traj = lp.solve_window(s, p, cfg, ws, record=True)
+            rows = traj.reshape(-1, ws)
+            sig = policy_scores(model, variables, rows, pcfg)
+            vec = scores_to_vec(sig, pcfg.fix_confidence)
+            s = lp.apply_fix(s, p, vec.reshape(s.x.shape), cfg)
+            return s, w + 1
+
+        s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+        support = jnp.any((jnp.abs(p.E) > 0) & s.free[:, None, :],
+                          axis=-1) & p.row_mask
+        return s, jnp.max(jnp.sum(s.free, axis=-1)), \
+            jnp.max(jnp.sum(support, axis=-1))
+
+    state, max_free, max_rows = policy_phase(state, prob)
+
+    # full-width fixing snapshot for the final reassembly
+    fixed_full = state.fixed_val
+    free_full = state.free
+    idx_map = jnp.broadcast_to(jnp.arange(n_full)[None], (B, n_full))
+
+    if not bool(jnp.all(state.done)):
+        mf, mr = int(max_free), int(max_rows)
+        n_b = min_bucket
+        while n_b < mf:
+            n_b *= 2
+        m_b = m_min_bucket
+        while m_b < mr:
+            m_b *= 2
+        if n_b < n_full or m_b < prob.m:
+            state, prob, idx_map = lp.compact(state, prob, cfg, n_b,
+                                              m_new=min(m_b, prob.m))
+        if use_fused and cfg.linsolve == "woodbury" and B % 8 == 0:
+            from ..ops.pallas_lp import solve_fused_from
+            state = solve_fused_from(state, prob, cfg,
+                                     max_iters=max_iter, window=ws,
+                                     interpret=interpret)
+        else:
+            @jax.jit
+            def residual_phase(s, p):
+                def cond(s):
+                    return jnp.logical_and(s.it < max_iter,
+                                           ~jnp.all(s.done))
+
+                def body(s):
+                    s, _ = lp.solve_window(s, p, cfg, ws, record=False)
+                    return s
+
+                return jax.lax.while_loop(cond, body, s)
+
+            state = residual_phase(state, prob)
+
+    sol_full = lp.scatter_solution(state, idx_map, fixed_full, free_full)
+    ex = jnp.einsum("bmn,bn->bm", orig_prob.E, sol_full,
+                    preferred_element_type=jnp.float32)
+    infeas = jnp.sum((ex > orig_prob.f) & orig_prob.row_mask, axis=-1)
+    n_fixed = jnp.sum(~free_full & orig_prob.var_mask, axis=-1)
+    out = {
+        "solution": sol_full,
+        "obj": lp.objective(state),
+        "iterations": state.it,
+        "infeasible": infeas,
+        "n_fixed": n_fixed,
+    }
+    return state, out

@@ -185,3 +185,71 @@ def test_trainer_end_to_end_small(lp_setup, tmp_path):
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b)),
         ts.params, ts2.params)
+
+
+def test_l2f_compact_matches_masked(lp_setup):
+    """The compacting l2f solve produces the same quality as the
+    mask-only l2f solve with the same (oracle-ish) policy behaviour.
+
+    Uses an artificial always-confident policy derived from the
+    dataset labels so fixing is deterministic."""
+    import flax.linen as nn
+    from lpbox_admm_tpu.train.l2f import l2f_solve, l2f_solve_compact
+
+    prob, cfg, ds = lp_setup
+
+    class OraclePolicy(nn.Module):
+        # scores 1 for label-1 rows, 0 for label-0 rows, keyed by the
+        # last trajectory value's proximity to the converged label --
+        # mimics a well-trained net deterministically
+        @nn.compact
+        def __call__(self, x, train=False):
+            last = x[:, -1, -1]
+            logit = jnp.where(last >= 0.5, 20.0, -20.0)[:, None]
+            return logit, jax.nn.sigmoid(logit)
+
+    model = OraclePolicy()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 20, 5)))
+    pcfg = PolicyConfig(net="mha")
+
+    masked = l2f_solve(prob, model, variables, cfg, pcfg, ws=100,
+                       max_iter=4000)
+    state_c, out = l2f_solve_compact(prob, model, variables, cfg, pcfg,
+                                     ws=100, max_iter=4000,
+                                     min_bucket=32)
+    o1 = np.asarray(lp.objective(masked))
+    o2 = np.asarray(out["obj"])
+    gap = np.abs(o1 - o2) / np.abs(o1)
+    assert np.all(gap < 0.06), (o1, o2)
+    sol = np.asarray(out["solution"])
+    assert set(np.unique(sol)).issubset({0.0, 1.0})
+    # compaction changes nothing about feasibility: identical counts to
+    # the masked path (the naive test policy may fix conflicting bids;
+    # what matters is path equivalence)
+    np.testing.assert_array_equal(
+        np.asarray(out["infeasible"]),
+        np.asarray(lp.infeasible_rows(masked, prob)))
+    # either the problem compacted, or the policy fixed everything
+    # within the policy phase (then there is nothing left to shrink)
+    assert state_c.x.shape[-1] < prob.n or bool(state_c.done.all())
+
+
+def test_fast_scorer_matches_forward():
+    """Transposed fast scorer == standard forward (eval mode)."""
+    from lpbox_admm_tpu.models.fast_policy import fast_policy_scores
+
+    model = build_policy("mha")
+    rng = np.random.RandomState(0)
+    x = rng.rand(256, 20, 5).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]),
+                           train=True)
+    _, mut = model.apply(variables, jnp.asarray(x), train=True,
+                         mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": mut["batch_stats"]}
+    _, ref = model.apply(variables, jnp.asarray(x), train=False)
+    pcfg = PolicyConfig(net="mha")
+    fast = fast_policy_scores(variables, jnp.asarray(x.reshape(256, 100)),
+                              pcfg)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref[:, 0]),
+                               atol=2e-6)
