@@ -213,19 +213,21 @@ def bench_l2f(prob, plain_objs):
     variables = trainer.variables(ts)
 
     t0 = time.time()
-    state = l2f_run = l2f.l2f_solve(prob, model, variables, cfg, pcfg,
-                                    ws=100)
-    jax_block(state)
+    _, out = l2f.l2f_solve_compact(prob, model, variables, cfg, pcfg,
+                                   ws=100, use_fused=True)
+    np.asarray(out["solution"])
     log(f"l2f: first solve (incl. compile): {time.time()-t0:.1f}s")
     t0 = time.time()
-    state = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=100)
-    jax_block(state)
+    _, out = l2f.l2f_solve_compact(
+        prob, model, variables, cfg.replace(pcg_tol=1.00001e-3), pcfg,
+        ws=100, use_fused=True)
+    np.asarray(out["solution"])        # host fetch = full sync
     wall = time.time() - t0
-    objs = np.asarray(lp.objective(state))
+    objs = np.asarray(out["obj"])
     gap = (objs - plain_objs) / np.abs(plain_objs)
-    fixed = np.asarray(jnp.sum(~state.free & prob.var_mask, axis=-1))
-    infeas = np.asarray(lp.infeasible_rows(state, prob))
-    log(f"l2f: wall={wall:.2f}s it={int(state.it)} "
+    fixed = np.asarray(out["n_fixed"])
+    infeas = np.asarray(out["infeasible"])
+    log(f"l2f: wall={wall:.2f}s it={int(out['iterations'])} "
         f"obj_gap mean={gap.mean():+.4f} max={gap.max():+.4f} "
         f"fixed={fixed.mean():.0f} vars/instance "
         f"infeas_instances={int((infeas > 0).sum())} "

@@ -41,9 +41,11 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
                    # outputs (aliased state + extras)
                    x_out, z1_out, z2_out, z4_out, ring_out, count_out,
                    done_out, curobj_out, y1_out, y2_out, y3_out, ex_out,
-                   *, cfg: SolverConfig, window: int, skip_cvg_at):
+                   *maybe_traj, cfg: SolverConfig, window: int,
+                   skip_cvg_at, record: bool = False):
+    traj_out = maybe_traj[0] if record else None
     E = E_ref[...]
-    ginv = ginv_ref[...]
+    ginv = ginv_ref[...].astype(jnp.float32)
     b = b_ref[...]
     free = free_ref[...] > 0.5          # stored as f32 mask
     free_f = free_ref[...]
@@ -148,6 +150,8 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
         obj_bin = jnp.sum(b * rounded, axis=-1)
         cur_obj_n = jnp.where(track, obj_bin, cur_obj[:, 0])
 
+        if record:
+            traj_out[:, pl.ds(t, 1), :] = x_new[:, None, :]
         upd = lambda new, old: jnp.where(act, new, old)
         done_n = done_r | newly_done
         return (upd(x_new, x), upd(z1n, z1), upd(z2n, z2),
@@ -179,15 +183,17 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "window", "bt",
-                                             "skip_cvg_at", "interpret"))
+                                             "skip_cvg_at", "interpret",
+                                             "record"))
 def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
                     bt: int = 8, skip_cvg_at: Optional[int] = None,
-                    interpret: bool = False):
+                    interpret: bool = False, record: bool = False):
     """Run ``window`` woodbury-mode ADMM iterations via the fused kernel.
 
-    Drop-in faster equivalent of ``core.lp.solve_window(record=False)``
-    for the plain-solve hot path (trajectory recording stays on the XLA
-    path).  Requires ``cfg.linsolve == 'woodbury'``.
+    Drop-in faster equivalent of ``core.lp.solve_window`` for the
+    solver hot path.  With ``record=True`` additionally returns the
+    (B, n, window) iterate trajectory for the policy (written from
+    VMEM per iteration).  Requires ``cfg.linsolve == 'woodbury'``.
     """
     from ..core.lp import LpState
 
@@ -204,7 +210,7 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
 
     H = cfg.history_size
     kernel = functools.partial(_window_kernel, cfg=cfg, window=window,
-                               skip_cvg_at=skip_cvg_at)
+                               skip_cvg_at=skip_cvg_at, record=record)
     free_f = state.free.astype(jnp.float32)
     done_f = state.done.astype(jnp.float32)
 
@@ -222,6 +228,9 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         jax.ShapeDtypeStruct((B, m), jnp.float32),   # y3
         jax.ShapeDtypeStruct((B, m), jnp.float32),   # ex
     ]
+    if record:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, window, n), jnp.float32))
     in_specs = [
         bs((m, n)),   # E
         bs((m, m)),   # ginv
@@ -241,6 +250,10 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     ]
     out_specs = [bs(x.shape[1:]) for x in out_shapes]
 
+    # when recording, the G^{-1} block rides in bf16 to fit the
+    # trajectory buffer in VMEM (the convergence-critical warm-start
+    # early exit uses only E products, which stay f32)
+    ginv_in = state.ginv.astype(jnp.bfloat16) if record else state.ginv
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -248,17 +261,22 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prob.E, state.ginv, prob.b, prob.var_mask.astype(jnp.float32),
+    )(prob.E, ginv_in, prob.b, prob.var_mask.astype(jnp.float32),
       state.x, state.z1, state.z2, state.z4, state.f_eff, free_f,
       state.obj_ring, state.obj_count[:, None], done_f[:, None],
       state.cur_obj[:, None], jnp.array([state.it], jnp.int32))
 
-    (x, z1, z2, z4, ring, count, done, cur_obj, y1, y2, y3, ex) = outs
-    return state._replace(
+    (x, z1, z2, z4, ring, count, done, cur_obj, y1, y2, y3, ex
+     ) = outs[:12]
+    new_state = state._replace(
         x=x, y1=y1, y2=y2, y3=y3, z1=z1, z2=z2, z4=z4,
         obj_ring=ring, obj_count=count[:, 0],
         it=state.it + window,
         done=done[:, 0] > 0.5, cur_obj=cur_obj[:, 0], ex=ex)
+    if record:
+        # (B, W, n) -> (B, n, W) to match core.lp.solve_window
+        return new_state, jnp.swapaxes(outs[12], 1, 2)
+    return new_state
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_iters", "window",

@@ -213,6 +213,18 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
     state = lp.init_state(prob, cfg)
     B, n_full = state.x.shape
 
+    fuse = use_fused and cfg.linsolve == "woodbury" and B % 8 == 0\
+        and prob.n * ws <= 64 * 1024  # trajectory block must fit VMEM
+    # the fast transposed scorer evaluates exactly the chunk-mode MHA
+    fast = (pcfg.window_mode == "chunk"
+            and "MHALayer_0" in variables.get("params", {}))
+
+    def score_rows(rows):
+        if fast:
+            from ..models.fast_policy import fast_policy_scores
+            return fast_policy_scores(variables, rows, pcfg)
+        return policy_scores(model, variables, rows, pcfg)
+
     @functools.partial(jax.jit, static_argnames=())
     def policy_phase(s, p):
         def cond(c):
@@ -222,9 +234,14 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
 
         def body(c):
             s, w = c
-            s, traj = lp.solve_window(s, p, cfg, ws, record=True)
+            if fuse:
+                from ..ops.pallas_lp import lp_window_fused
+                s, traj = lp_window_fused(s, p, cfg, ws, record=True,
+                                          interpret=interpret)
+            else:
+                s, traj = lp.solve_window(s, p, cfg, ws, record=True)
             rows = traj.reshape(-1, ws)
-            sig = policy_scores(model, variables, rows, pcfg)
+            sig = score_rows(rows)
             vec = scores_to_vec(sig, pcfg.fix_confidence)
             s = lp.apply_fix(s, p, vec.reshape(s.x.shape), cfg)
             return s, w + 1
@@ -253,7 +270,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
         if n_b < n_full or m_b < prob.m:
             state, prob, idx_map = lp.compact(state, prob, cfg, n_b,
                                               m_new=min(m_b, prob.m))
-        if use_fused and cfg.linsolve == "woodbury" and B % 8 == 0:
+        if fuse:
             from ..ops.pallas_lp import solve_fused_from
             state = solve_fused_from(state, prob, cfg,
                                      max_iters=max_iter, window=ws,

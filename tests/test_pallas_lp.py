@@ -65,3 +65,19 @@ def test_fused_respects_done_freezing(prob):
                                np.asarray(state.x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(again.cur_obj),
                                np.asarray(state.cur_obj), atol=1e-5)
+
+
+def test_fused_window_records_trajectory(prob):
+    state0 = lp.init_state(prob, CFG)
+    ref_state, ref_traj = lp.solve_window(state0, prob, CFG, 20,
+                                          record=True, skip_cvg_at=0)
+    f_state, f_traj = pallas_lp.lp_window_fused(
+        state0, prob, CFG, 20, bt=2, skip_cvg_at=0, interpret=True,
+        record=True)
+    assert f_traj.shape == ref_traj.shape
+    # the recording path runs G^{-1} in bf16 (VMEM budget); the chaotic
+    # dynamics amplify that quickly, so compare only the first
+    # iterations pointwise
+    np.testing.assert_allclose(np.asarray(f_traj[..., :6]),
+                               np.asarray(ref_traj[..., :6]),
+                               rtol=5e-2, atol=2e-2)
