@@ -45,7 +45,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
                    skip_cvg_at, record: bool = False):
     traj_out = maybe_traj[0] if record else None
     E = E_ref[...]
-    ginv = ginv_ref[...].astype(jnp.float32)
+    ginv = ginv_ref[...]
     b = b_ref[...]
     free = free_ref[...] > 0.5          # stored as f32 mask
     free_f = free_ref[...]
@@ -250,10 +250,6 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     ]
     out_specs = [bs(x.shape[1:]) for x in out_shapes]
 
-    # when recording, the G^{-1} block rides in bf16 to fit the
-    # trajectory buffer in VMEM (the convergence-critical warm-start
-    # early exit uses only E products, which stay f32)
-    ginv_in = state.ginv.astype(jnp.bfloat16) if record else state.ginv
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -261,7 +257,7 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prob.E, ginv_in, prob.b, prob.var_mask.astype(jnp.float32),
+    )(prob.E, state.ginv, prob.b, prob.var_mask.astype(jnp.float32),
       state.x, state.z1, state.z2, state.z4, state.f_eff, free_f,
       state.obj_ring, state.obj_count[:, None], done_f[:, None],
       state.cur_obj[:, None], jnp.array([state.it], jnp.int32))

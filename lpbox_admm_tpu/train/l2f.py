@@ -235,9 +235,15 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
         def body(c):
             s, w = c
             if fuse:
+                # record in two half-windows: the (bt, ws, n) trajectory
+                # buffer would not fit VMEM alongside E and G^{-1}
                 from ..ops.pallas_lp import lp_window_fused
-                s, traj = lp_window_fused(s, p, cfg, ws, record=True,
-                                          interpret=interpret)
+                s, tr1 = lp_window_fused(s, p, cfg, ws // 2, record=True,
+                                         interpret=interpret)
+                s, tr2 = lp_window_fused(s, p, cfg, ws - ws // 2,
+                                         record=True,
+                                         interpret=interpret)
+                traj = jnp.concatenate([tr1, tr2], axis=-1)
             else:
                 s, traj = lp.solve_window(s, p, cfg, ws, record=True)
             rows = traj.reshape(-1, ws)

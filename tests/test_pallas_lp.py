@@ -75,9 +75,5 @@ def test_fused_window_records_trajectory(prob):
         state0, prob, CFG, 20, bt=2, skip_cvg_at=0, interpret=True,
         record=True)
     assert f_traj.shape == ref_traj.shape
-    # the recording path runs G^{-1} in bf16 (VMEM budget); the chaotic
-    # dynamics amplify that quickly, so compare only the first
-    # iterations pointwise
-    np.testing.assert_allclose(np.asarray(f_traj[..., :6]),
-                               np.asarray(ref_traj[..., :6]),
-                               rtol=5e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(f_traj), np.asarray(ref_traj),
+                               rtol=5e-2, atol=5e-3)
