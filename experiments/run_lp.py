@@ -141,7 +141,7 @@ def main():
         path = args.checkpoint or os.path.join(
             args.save_dir, "checkpoint", "best_checkpoint.cp")
         ts = trainer.load(path)
-        m = trainer.evaluate(ts, eval_prob, eval_ds)
+        m = trainer.evaluate(ts, eval_prob, eval_ds, compact=True)
         print(f"[Lpbox] oracle: mean obj "
               f"{float(eval_ds.oracle_obj.mean()):.2f}, "
               f"iters {int(eval_ds.oracle_iters)}")

@@ -252,20 +252,46 @@ class PolicyTrainer:
         return ts, float(np.mean(losses))
 
     def evaluate(self, ts: TrainState, prob: LpProblem,
-                 ds: TrajectoryDataset, max_iter: Optional[int] = None
-                 ) -> Dict[str, Any]:
+                 ds: TrajectoryDataset, max_iter: Optional[int] = None,
+                 compact: bool = False) -> Dict[str, Any]:
         """In-loop l2f evaluation against the plain-ADMM oracle
-        (_valid_1/_valid_2 semantics: obj gap, speedup, fix errors)."""
+        (_valid_1/_valid_2 semantics: obj gap, speedup, fix errors).
+
+        ``compact=True`` uses the physically-compacting three-phase
+        solver (wall-clock-representative); the default mask-only loop
+        is cheaper to compile for in-training eval."""
         t0 = time.perf_counter()
-        state = l2f_solve(prob, self.model, self.variables(ts), self.cfg,
-                          self.pcfg, ws=self.ws, max_iter=max_iter)
-        state.x.block_until_ready()
-        wall = time.perf_counter() - t0
-        m = l2f_metrics(state, prob, ds.oracle_obj, ds.labels)
-        out = {k: np.asarray(v) for k, v in m.items()}
+        if compact:
+            from .l2f import l2f_solve_compact
+            state, out_c = l2f_solve_compact(
+                prob, self.model, self.variables(ts), self.cfg,
+                self.pcfg, ws=self.ws, max_iter=max_iter)
+            np.asarray(out_c["solution"])
+            wall = time.perf_counter() - t0
+            obj = np.asarray(out_c["obj"])
+            gap = (obj - np.asarray(ds.oracle_obj)) \
+                / np.abs(np.asarray(ds.oracle_obj))
+            out = {
+                "obj": obj, "obj_gap": gap,
+                "iterations": out_c["iterations"],
+                "infeasible": np.asarray(out_c["infeasible"]),
+                "n_fixed": np.asarray(out_c["n_fixed"]),
+                "fix_errors": np.asarray(jnp.sum(
+                    out_c["fixed_mask"]
+                    & (out_c["fixed_val"] != ds.labels), axis=-1)),
+            }
+        else:
+            state = l2f_solve(prob, self.model, self.variables(ts),
+                              self.cfg, self.pcfg, ws=self.ws,
+                              max_iter=max_iter)
+            state.x.block_until_ready()
+            wall = time.perf_counter() - t0
+            m = l2f_metrics(state, prob, ds.oracle_obj, ds.labels)
+            out = {k: np.asarray(v) for k, v in m.items()}
         out["wall_time_s"] = wall
-        out["mean_obj_gap"] = float(np.mean(out["obj_gap"]))
-        out["iter_speedup"] = float(ds.oracle_iters) / max(float(state.it), 1)
+        out["mean_obj_gap"] = float(np.mean(np.asarray(out["obj_gap"])))
+        out["iter_speedup"] = float(ds.oracle_iters) / max(
+            float(out["iterations"]), 1)
         return out
 
     # ---- checkpointing (reference trainer.py:599-643) -------------------

@@ -307,5 +307,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
         "iterations": state.it,
         "infeasible": infeas,
         "n_fixed": n_fixed,
+        "fixed_mask": ~free_full & orig_prob.var_mask,
+        "fixed_val": fixed_full,
     }
     return state, out
