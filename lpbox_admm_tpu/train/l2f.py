@@ -177,6 +177,81 @@ def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "model", "cfg", "pcfg", "ws", "policy_windows", "fuse", "fast",
+    "max_iter", "interpret"))
+def _policy_phase(state, prob, variables, model, cfg, pcfg, ws,
+                  policy_windows, fuse, fast, max_iter, interpret):
+    """Jitted phase 1 of l2f_solve_compact (module-level so repeat calls
+    hit the jit cache)."""
+
+    def score_rows(rows):
+        if fast:
+            from ..models.fast_policy import fast_policy_scores
+            return fast_policy_scores(variables, rows, pcfg)
+        return policy_scores(model, variables, rows, pcfg)
+
+    def cond(c):
+        s, w = c
+        return (w < policy_windows) & ~jnp.all(s.done) & (s.it < max_iter)
+
+    def body(c):
+        s, w = c
+        if fuse:
+            # record in two half-windows: the (bt, ws, n) trajectory
+            # buffer would not fit VMEM alongside E and G^{-1}
+            from ..ops.pallas_lp import lp_window_fused
+            s, tr1 = lp_window_fused(s, prob, cfg, ws // 2, record=True,
+                                     interpret=interpret)
+            s, tr2 = lp_window_fused(s, prob, cfg, ws - ws // 2,
+                                     record=True, interpret=interpret)
+            traj = jnp.concatenate([tr1, tr2], axis=-1)
+        else:
+            s, traj = lp.solve_window(s, prob, cfg, ws, record=True)
+        rows = traj.reshape(-1, ws)
+        sig = score_rows(rows)
+        vec = scores_to_vec(sig, pcfg.fix_confidence)
+        s = lp.apply_fix(s, prob, vec.reshape(s.x.shape), cfg)
+        return s, w + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    support = jnp.any((jnp.abs(prob.E) > 0) & state.free[:, None, :],
+                      axis=-1) & prob.row_mask
+    return state, jnp.max(jnp.sum(state.free, axis=-1)), \
+        jnp.max(jnp.sum(support, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ws", "max_iter"))
+def _residual_phase_xla(state, prob, cfg, ws, max_iter):
+    def cond(s):
+        return jnp.logical_and(s.it < max_iter, ~jnp.all(s.done))
+
+    def body(s):
+        s, _ = lp.solve_window(s, prob, cfg, ws, record=False)
+        return s
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_new", "m_new"))
+def _compact_jit(state, prob, cfg, n_new, m_new):
+    return lp.compact(state, prob, cfg, n_new, m_new=m_new)
+
+
+_scatter_rows = jax.jit(jax.vmap(lambda b, i, v: b.at[i].set(v)))
+
+
+@jax.jit
+def _finalize(state, idx_map, fixed_full, free_full, orig_E, orig_f,
+              orig_row_mask, orig_var_mask):
+    sol_full = lp.scatter_solution(state, idx_map, fixed_full, free_full)
+    ex = jnp.einsum("bmn,bn->bm", orig_E, sol_full,
+                    preferred_element_type=jnp.float32)
+    infeas = jnp.sum((ex > orig_f) & orig_row_mask, axis=-1)
+    n_fixed = jnp.sum(~free_full & orig_var_mask, axis=-1)
+    return sol_full, infeas, n_fixed
+
+
 def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       pcfg: PolicyConfig, ws: int = 100,
                       max_iter: Optional[int] = None,
@@ -200,9 +275,10 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
     3. RESIDUAL phase (one jit): run the small problem to convergence,
        optionally with the fused Pallas kernel (``use_fused``).
 
-    Returns (final_state, dict) with the full-width binary solution,
-    objective, iterations, fixing counts and original-problem
-    feasibility.
+    All jitted phases are module-level, so repeated solves reuse the
+    compile cache.  Returns (final_state, dict) with the full-width
+    binary solution, objective, iterations, fixing info and
+    original-problem feasibility.
     """
     import numpy as np
 
@@ -212,55 +288,15 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
     orig_prob = prob
     state = lp.init_state(prob, cfg)
     B, n_full = state.x.shape
-
-    fuse = use_fused and cfg.linsolve == "woodbury" and B % 8 == 0\
-        and prob.n * ws <= 64 * 1024  # trajectory block must fit VMEM
-    # the fast transposed scorer evaluates exactly the chunk-mode MHA
+    fuse = use_fused and cfg.linsolve == "woodbury" and B % 8 == 0 \
+        and prob.n * ws <= 64 * 1024
     fast = (pcfg.window_mode == "chunk"
             and "MHALayer_0" in variables.get("params", {}))
 
-    def score_rows(rows):
-        if fast:
-            from ..models.fast_policy import fast_policy_scores
-            return fast_policy_scores(variables, rows, pcfg)
-        return policy_scores(model, variables, rows, pcfg)
+    state, max_free, max_rows = _policy_phase(
+        state, prob, variables, model, cfg, pcfg, ws, policy_windows,
+        fuse, fast, max_iter, interpret)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def policy_phase(s, p):
-        def cond(c):
-            s, w = c
-            return (w < policy_windows) & ~jnp.all(s.done) \
-                & (s.it < max_iter)
-
-        def body(c):
-            s, w = c
-            if fuse:
-                # record in two half-windows: the (bt, ws, n) trajectory
-                # buffer would not fit VMEM alongside E and G^{-1}
-                from ..ops.pallas_lp import lp_window_fused
-                s, tr1 = lp_window_fused(s, p, cfg, ws // 2, record=True,
-                                         interpret=interpret)
-                s, tr2 = lp_window_fused(s, p, cfg, ws - ws // 2,
-                                         record=True,
-                                         interpret=interpret)
-                traj = jnp.concatenate([tr1, tr2], axis=-1)
-            else:
-                s, traj = lp.solve_window(s, p, cfg, ws, record=True)
-            rows = traj.reshape(-1, ws)
-            sig = score_rows(rows)
-            vec = scores_to_vec(sig, pcfg.fix_confidence)
-            s = lp.apply_fix(s, p, vec.reshape(s.x.shape), cfg)
-            return s, w + 1
-
-        s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
-        support = jnp.any((jnp.abs(p.E) > 0) & s.free[:, None, :],
-                          axis=-1) & p.row_mask
-        return s, jnp.max(jnp.sum(s.free, axis=-1)), \
-            jnp.max(jnp.sum(support, axis=-1))
-
-    state, max_free, max_rows = policy_phase(state, prob)
-
-    # full-width fixing snapshot for the final reassembly
     fixed_full = state.fixed_val
     free_full = state.free
     idx_map = jnp.broadcast_to(jnp.arange(n_full)[None], (B, n_full))
@@ -274,33 +310,19 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
         while m_b < mr:
             m_b *= 2
         if n_b < n_full or m_b < prob.m:
-            state, prob, idx_map = lp.compact(state, prob, cfg, n_b,
-                                              m_new=min(m_b, prob.m))
+            state, prob, idx_map = _compact_jit(state, prob, cfg, n_b,
+                                                min(m_b, prob.m))
         if fuse:
             from ..ops.pallas_lp import solve_fused_from
             state = solve_fused_from(state, prob, cfg,
                                      max_iters=max_iter, window=ws,
                                      interpret=interpret)
         else:
-            @jax.jit
-            def residual_phase(s, p):
-                def cond(s):
-                    return jnp.logical_and(s.it < max_iter,
-                                           ~jnp.all(s.done))
+            state = _residual_phase_xla(state, prob, cfg, ws, max_iter)
 
-                def body(s):
-                    s, _ = lp.solve_window(s, p, cfg, ws, record=False)
-                    return s
-
-                return jax.lax.while_loop(cond, body, s)
-
-            state = residual_phase(state, prob)
-
-    sol_full = lp.scatter_solution(state, idx_map, fixed_full, free_full)
-    ex = jnp.einsum("bmn,bn->bm", orig_prob.E, sol_full,
-                    preferred_element_type=jnp.float32)
-    infeas = jnp.sum((ex > orig_prob.f) & orig_prob.row_mask, axis=-1)
-    n_fixed = jnp.sum(~free_full & orig_prob.var_mask, axis=-1)
+    sol_full, infeas, n_fixed = _finalize(
+        state, idx_map, fixed_full, free_full, orig_prob.E, orig_prob.f,
+        orig_prob.row_mask, orig_prob.var_mask)
     out = {
         "solution": sol_full,
         "obj": lp.objective(state),
