@@ -102,14 +102,22 @@ def image_to_qp(I: np.ndarray) -> Tuple[np.ndarray, np.ndarray, float]:
 def make_problem(images: Sequence[np.ndarray],
                  h_pad: Optional[int] = None,
                  w_pad: Optional[int] = None,
+                 align: bool = False,
                  dtype=np.float32) -> QpProblem:
     """Batch images of (possibly) different sizes into one padded grid
-    QP; padded pixels have zero weights/costs and mask False."""
+    QP; padded pixels have zero weights/costs and mask False.
+
+    ``align=True`` additionally pads H to a multiple of 8 and W to a
+    multiple of 128 (TPU tile alignment, required by the fused stencil
+    kernel ops/pallas_qp.py)."""
     B = len(images)
     Hs = [im.shape[0] for im in images]
     Ws = [im.shape[1] for im in images]
     H = h_pad or max(Hs)
     W = w_pad or max(Ws)
+    if align:
+        H = ((H + 7) // 8) * 8
+        W = ((W + 127) // 128) * 128
     weights = np.zeros((B, 8, H, W), dtype=dtype)
     bs = np.zeros((B, H, W), dtype=dtype)
     consts = np.zeros((B,), dtype=dtype)
