@@ -36,9 +36,16 @@ _EPS = 2.2204e-16
 
 
 def _shift(x, dr, dc):
-    """result[i, j] = x[i+dr, j+dc], zero outside (ops/stencil.shift)."""
+    """result[i, j] = x[i+dr, j+dc], zero outside (ops/stencil.shift).
+
+    Uses pltpu.roll (Mosaic cannot lower jnp.roll here) with edge
+    masking."""
     H, W = x.shape[-2], x.shape[-1]
-    out = jnp.roll(x, shift=(-dr, -dc), axis=(-2, -1))
+    out = x
+    if dr:
+        out = pltpu.roll(out, -dr % H, axis=out.ndim - 2)
+    if dc:
+        out = pltpu.roll(out, -dc % W, axis=out.ndim - 1)
     if dr or dc:
         rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -68,7 +75,9 @@ def _window_kernel(w_ref, deg_ref, beff_ref, free_ref,
     free = free_f > 0.5
 
     def msum(v):
-        return jnp.sum(v, axis=(-2, -1))
+        # two-step reduction: Mosaic SIGABRTs on multi-axis reductions
+        # of 3D operands (sum lanes first, then the 2D remainder)
+        return jnp.sum(jnp.sum(v, axis=-1), axis=-1)
 
     def a_mv(p):
         """A' p = deg * p - W p on the free submatrix."""
