@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("-result_dir", default="result")
     p.add_argument("-dump_xiter", action="store_true",
                    help="record G trajectories for policy training")
+    p.add_argument("-weight_type", default="none",
+                   choices=["none", "gradient", "variance",
+                            "variance_mean", "contrast",
+                            "contrast_mean"],
+                   help="noise sensitivity weighting (utils.py:144)")
     return p.parse_args()
 
 
@@ -99,7 +104,8 @@ def main():
     Bm = np.zeros((len(imgs), S, 3, 32, 32), np.float32)
     for i, b in enumerate(Bms):
         Bm[i, :b.shape[0]] = b
-    nw = np.ones_like(imgs)
+    nw = np.stack([attack.compute_sensitive(im, args.weight_type)
+                   for im in imgs])
 
     if args.phase in ("solve", "test"):
         use_l2f = args.phase == "test"

@@ -532,3 +532,22 @@ def scatter_solution(state_c: LpState, idx: jnp.ndarray,
         return b.at[i].set(v)
 
     return jax.vmap(put)(base, idx, sol_c)
+
+
+def objective_best(state: LpState) -> jnp.ndarray:
+    """Objective of the best incumbent rounding seen during the solve.
+
+    The reference tracks best_bin_obj/best_sol (:1008-1011) but reports
+    the last iterate's rounding (allres.csv writes cur_obj, :1081); this
+    accessor exposes the better incumbent -- a strict quality
+    improvement available to callers who don't need reference parity.
+    """
+    any_free = jnp.any(state.free, axis=-1)
+    return jnp.where(any_free, state.sum_fix_obj + state.best_bin_obj,
+                     state.sum_fix_obj)
+
+
+def solution_best(state: LpState) -> jnp.ndarray:
+    """Full-width rounding of the best incumbent iterate."""
+    rounded = (state.best_sol >= 0.5).astype(state.x.dtype)
+    return jnp.where(state.free, rounded, state.fixed_val)

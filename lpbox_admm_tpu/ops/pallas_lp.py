@@ -187,7 +187,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
                                              "record"))
 def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
                     bt: int = 8, skip_cvg_at: Optional[int] = None,
-                    interpret: bool = False, record: bool = False):
+                    interpret: Optional[bool] = None, record: bool = False):
     """Run ``window`` woodbury-mode ADMM iterations via the fused kernel.
 
     Drop-in faster equivalent of ``core.lp.solve_window`` for the
@@ -198,6 +198,8 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     from ..core.lp import LpState
 
     assert cfg.linsolve == "woodbury"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B, m, n = prob.E.shape
     assert B % bt == 0, (B, bt)
     grid = (B // bt,)
@@ -279,10 +281,12 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
                                              "bt", "interpret"))
 def solve_fused(prob, cfg: SolverConfig, max_iters: Optional[int] = None,
                 window: int = 100, bt: int = 8,
-                interpret: bool = False):
+                interpret: Optional[bool] = None):
     """Plain full solve using the fused window kernel."""
     from ..core import lp as lp_core
 
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if max_iters is None:
         max_iters = cfg.max_iters
     state = lp_core.init_state(prob, cfg)
@@ -301,9 +305,11 @@ def solve_fused(prob, cfg: SolverConfig, max_iters: Optional[int] = None,
                                              "bt", "interpret"))
 def solve_fused_from(state, prob, cfg: SolverConfig,
                      max_iters: Optional[int] = None, window: int = 100,
-                     bt: int = 8, interpret: bool = False):
+                     bt: int = 8, interpret: Optional[bool] = None):
     """Continue an existing solve to convergence with the fused kernel
     (used after l2f compaction for the residual problem)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if max_iters is None:
         max_iters = cfg.max_iters
 

@@ -209,15 +209,19 @@ def _window_kernel(w_ref, deg_ref, beff_ref, free_ref,
                                              "cg_iters", "interpret"))
 def qp_window_fused(state, prob, cfg: SolverConfig, window: int,
                     bt: int = 8, cg_iters: int = 30,
-                    interpret: bool = False):
+                    interpret: Optional[bool] = None):
     """Run ``window`` seg-ADMM iterations via the fused stencil kernel.
 
     Faster equivalent of core.qp.solve_window(record=False); the image
     grid must be tile-aligned (H % 8 == 0, W % 128 == 0).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B = prob.batch
     Hg, Wg = prob.grid
-    assert B % bt == 0, (B, bt)
+    bt = min(bt, B)
+    while B % bt:
+        bt -= 1
     assert Hg % 8 == 0 and Wg % 128 == 0, (Hg, Wg)
     grid = (B // bt,)
 
@@ -283,10 +287,12 @@ def qp_window_fused(state, prob, cfg: SolverConfig, window: int,
                                              "interpret"))
 def solve_fused(prob, cfg: SolverConfig, max_iters: Optional[int] = None,
                 window: int = 50, bt: int = 8, cg_iters: int = 30,
-                interpret: bool = False):
+                interpret: Optional[bool] = None):
     """Plain full seg solve on the fused stencil kernel."""
     from ..core import qp as qp_core
 
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if max_iters is None:
         max_iters = cfg.max_iters
     state = qp_core.init_state(prob, cfg)

@@ -258,7 +258,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       policy_windows: int = 5,
                       min_bucket: int = 128, m_min_bucket: int = 64,
                       use_fused: bool = False,
-                      interpret: bool = False):
+                      interpret: Optional[bool] = None):
     """LP l2f solve with bucketed physical compaction.
 
     Three phases, two host round trips (host-driven per-window loops
@@ -284,6 +284,9 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
 
     if max_iter is None:
         max_iter = cfg.max_iters
+    if interpret is None:
+        import jax as _jax
+        interpret = _jax.default_backend() == "cpu"
 
     orig_prob = prob
     state = lp.init_state(prob, cfg)

@@ -160,3 +160,16 @@ def test_done_freezes_state(small_batch):
     np.testing.assert_allclose(np.asarray(state.x), np.asarray(state2.x))
     np.testing.assert_allclose(np.asarray(lp.objective(state)),
                                np.asarray(lp.objective(state2)))
+
+
+def test_objective_best_never_worse(small_batch):
+    """The best-incumbent objective is <= the reported last-rounding
+    objective (minimization)."""
+    _, prob = small_batch
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    state = lp.solve(prob, cfg, max_iters=20000, window=50)
+    best = np.asarray(lp.objective_best(state))
+    last = np.asarray(lp.objective(state))
+    assert np.all(best <= last + 1e-4), (best, last)
+    solb = np.asarray(lp.solution_best(state))
+    assert set(np.unique(solb)).issubset({0.0, 1.0})
