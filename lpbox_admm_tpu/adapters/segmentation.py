@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from PIL import Image
 
 from ..core.qp import QpProblem
-from ..ops.stencil import OFFSETS, Stencil, build_stencil
+from ..ops.stencil import OFFSETS, build_stencil
 
 
 def load_image(path: str, num_nodes: int = 10_000) -> np.ndarray:

@@ -195,8 +195,6 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     (B, n, window) iterate trajectory for the policy (written from
     VMEM per iteration).  Requires ``cfg.linsolve == 'woodbury'``.
     """
-    from ..core.lp import LpState
-
     assert cfg.linsolve == "woodbury"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

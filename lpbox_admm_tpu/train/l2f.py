@@ -238,9 +238,6 @@ def _compact_jit(state, prob, cfg, n_new, m_new):
     return lp.compact(state, prob, cfg, n_new, m_new=m_new)
 
 
-_scatter_rows = jax.jit(jax.vmap(lambda b, i, v: b.at[i].set(v)))
-
-
 @jax.jit
 def _finalize(state, idx_map, fixed_full, free_full, orig_E, orig_f,
               orig_row_mask, orig_var_mask):
