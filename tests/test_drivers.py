@@ -1,0 +1,58 @@
+"""Subprocess smoke tests of the experiment drivers (the CLI surface)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_driver(tmp_path, script, *args):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "experiments", script),
+         *args],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+@pytest.mark.slow
+def test_run_lp_full_pipeline(tmp_path):
+    common = ["-n", "6", "-j", "20", "-col", "60", "-batch", "4",
+              "-n_eval", "2", "-net", "mlp"]
+    out = run_driver(tmp_path, "run_lp.py", "-phase", "generate", *common)
+    assert "generated 6 instances" in out
+    out = run_driver(tmp_path, "run_lp.py", "-phase", "solve", *common)
+    assert "plain solve" in out
+    assert os.path.exists(tmp_path / "data" / "xiter" / "allres.csv")
+    out = run_driver(tmp_path, "run_lp.py", "-phase", "train",
+                     "-num_epochs", "2", *common)
+    assert "epoch 1" in out
+    out = run_driver(tmp_path, "run_lp.py", "-phase", "test", *common)
+    assert "obj gap" in out
+
+
+@pytest.mark.slow
+def test_run_seg_solve(tmp_path):
+    out = run_driver(tmp_path, "run_seg.py", "-phase", "solve",
+                     "-n", "2", "-num_nodes", "400")
+    assert "solved 2 images" in out
+    assert os.path.exists(tmp_path / "result" / "xiter_all.csv")
+    assert os.path.exists(tmp_path / "result" / "output_0.png")
+
+
+@pytest.mark.slow
+def test_run_attack_solve(tmp_path):
+    out = run_driver(tmp_path, "run_attack.py", "-phase", "solve",
+                     "-n", "2", "-maxIter_e", "40", "-maxIter_g", "40",
+                     "-search", "1", "-segments", "20")
+    assert "success rate" in out
+    assert os.path.exists(tmp_path / "result" / "all_ori.csv")
