@@ -41,8 +41,9 @@ def parse_args():
     p.add_argument("-max_eval_iters", type=int, default=30,
                    help="l2f iteration budget (Seg trainer.py:705)")
     p.add_argument("-fused", action="store_true",
-                   help="use the fused Pallas stencil kernel (solve "
-                        "phase; requires tile-aligned grids)")
+                   help="use the experimental fused Pallas stencil "
+                        "kernel (solve phase; currently slower than "
+                        "the default XLA path on TPU)")
     return p.parse_args()
 
 

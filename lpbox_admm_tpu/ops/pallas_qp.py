@@ -1,11 +1,19 @@
 """Fused Pallas TPU kernel: segmentation ADMM window, stencil-resident.
 
-The segmentation QP iteration (core/qp.py) is a 9-point stencil CG
-inside an ADMM loop: each CG step re-reads the (B, 8, H, W) affinity
-planes from HBM.  This kernel keeps an image block's weight planes and
-all state grids VMEM-resident and runs the whole ``window`` of ADMM
-iterations (each with a bounded-iteration masked CG) in one launch --
-the affinity planes stream from HBM once per window.
+STATUS: experimental -- correct (interpret + compiled parity) but
+currently ~30x SLOWER than the XLA path on a v5e chip.  Unlike the LP
+kernel (ops/pallas_lp.py), the seg iteration is not HBM-bound: XLA's
+stencil fusion already keeps traffic low, and its CG ``while_loop``
+exits after a handful of iterations, whereas this kernel's in-kernel
+``fori_loop`` always runs ``cg_iters`` masked steps.  Kept as a
+starting point for a future version with an in-kernel early-exit
+while_loop; the XLA path (core/qp.py) is the production seg solver
+(34 ms per 50-iteration window for 16 x 1e4-px images).
+
+Original design: the segmentation QP iteration (core/qp.py) is a
+9-point stencil CG inside an ADMM loop; this kernel keeps an image
+block's weight planes and all state grids VMEM-resident and runs the
+whole ``window`` of ADMM iterations in one launch.
 
 Grid note: images must be padded so H is a multiple of 8 and W a
 multiple of 128 (adapters.segmentation.make_problem(align=True)); the
@@ -93,8 +101,11 @@ def _window_kernel(w_ref, deg_ref, beff_ref, free_ref,
 
     def body(t, carry):
         (x, y1c, y2c, z1, z2, ring, count, done, cur_obj) = carry
-        done_r = done[:, 0] > 0.5
-        count_r = count[:, 0]
+        # scalar rows ride as (bt, 1, 1) and the ring as (bt, 1, H) so
+        # every block is >=3D (rank-2 blocks constrain bt to multiples
+        # of 8, which overflows VMEM on large grids)
+        done_r = done[:, 0, 0] > 0.5
+        count_r = count[:, 0, 0]
         it = it_ref[0] + t
         kf = (it // cfg.rho_change_step).astype(jnp.float32)
         rho = cfg.initial_rho * jnp.exp(kf * math.log(cfg.learning_fact))
@@ -124,28 +135,35 @@ def _window_kernel(w_ref, deg_ref, beff_ref, free_ref,
         r2 = msum(r * r)
         run = active & (r2 >= thr)
         p = inv_diag * r
-        absn = msum(r * p)
+        # loop carries must be >= 2D for Mosaic: per-image scalars ride
+        # as (bt, 1)
+        absn2 = msum(r * p)[:, None]
+        run2 = run[:, None].astype(jnp.float32)
+        thr2 = thr[:, None]
 
         def cg_body(k, cgc):
-            xk, r, p, absn, run = cgc
+            xk, r, p, absn2, run2 = cgc
+            runb = run2[:, 0] > 0.5
+            absn = absn2[:, 0]
             tmp = 2.0 * a_mv(p) + c * free_f * p
             ptmp = msum(p * tmp)
-            alpha = jnp.where(run, absn / jnp.where(ptmp == 0, 1.0, ptmp),
-                              0.0)
+            alpha = jnp.where(runb, absn / jnp.where(ptmp == 0, 1.0,
+                                                     ptmp), 0.0)
             xk = xk + alpha[:, None, None] * p
             r = r - alpha[:, None, None] * tmp
             r2 = msum(r * r)
-            still = run & (r2 >= thr)
+            still = runb & (r2 >= thr2[:, 0])
             z = inv_diag * r
             newabs = msum(r * z)
             beta = newabs / jnp.where(absn == 0, 1.0, absn)
             p = jnp.where(still[:, None, None],
                           z + beta[:, None, None] * p, p)
             absn = jnp.where(still, newabs, absn)
-            return xk, r, p, absn, still
+            return (xk, r, p, absn[:, None],
+                    still[:, None].astype(jnp.float32))
 
-        xk, r, p, absn, run = jax.lax.fori_loop(
-            0, cg_iters, cg_body, (xk, r, p, absn, run))
+        xk, r, p, absn2, run2 = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (xk, r, p, absn2, run2))
         x_new = jnp.where(act, free_f * xk, x)
 
         z1n = z1 + gamma * rho * free_f * (x_new - y1)
@@ -165,11 +183,12 @@ def _window_kernel(w_ref, deg_ref, beff_ref, free_ref,
         H_ = cfg.history_size
         slot = jnp.mod(count_r, H_)
         onehot = slot[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (1, H_), 1)
-        ring_n = jnp.where(push[:, None] & onehot, obj_val[:, None], ring)
+            jnp.int32, (1, H_), 1)           # (bt, H_)
+        ring_n = jnp.where((push[:, None] & onehot)[:, None, :],
+                           obj_val[:, None, None], ring)
         count_n = count_r + push.astype(jnp.int32)
         mean = jnp.mean(ring_n, axis=-1, keepdims=True)
-        var = jnp.sum((ring_n - mean) ** 2, axis=-1) / (H_ - 1)
+        var = jnp.sum((ring_n - mean) ** 2, axis=-1)[:, 0] / (H_ - 1)
         rel = jnp.sqrt(var) / jnp.maximum(jnp.abs(obj_val), _EPS)
         rel = jnp.where(count_n >= H_, rel, 1.0)
         std_stop = push & (rel <= cfg.std_threshold)
@@ -179,15 +198,15 @@ def _window_kernel(w_ref, deg_ref, beff_ref, free_ref,
         rounded = free_f * (x_new >= 0.5).astype(x.dtype)
         obj_bin = msum(rounded * a_mv(rounded)) \
             + msum(b_eff * rounded)
-        cur_obj_n = jnp.where(track, obj_bin, cur_obj[:, 0])
+        cur_obj_n = jnp.where(track, obj_bin, cur_obj[:, 0, 0])
 
         upd = lambda new, old: jnp.where(act, new, old)
         done_n = done_r | newly_done
         return (upd(x_new, x), upd(y1, y1c), upd(y2, y2c),
                 upd(z1n, z1), upd(z2n, z2),
-                ring_n, count_n[:, None],
-                done_n[:, None].astype(jnp.float32),
-                cur_obj_n[:, None])
+                ring_n, count_n[:, None, None],
+                done_n[:, None, None].astype(jnp.float32),
+                cur_obj_n[:, None, None])
 
     carry = (x_ref[...], y1_ref[...], y2_ref[...], z1_ref[...],
              z2_ref[...], ring_ref[...], count_ref[...], done_ref[...],
@@ -219,6 +238,12 @@ def qp_window_fused(state, prob, cfg: SolverConfig, window: int,
         interpret = jax.default_backend() == "cpu"
     B = prob.batch
     Hg, Wg = prob.grid
+    # auto-shrink the instance block to the VMEM budget (weights 8
+    # planes + ~14 state/temp grids, double-buffered by the pipeline)
+    per_image = (8 + 14) * Hg * Wg * 4
+    budget = 7 * 1024 * 1024
+    while bt > 1 and bt * per_image > budget:
+        bt -= 1
     bt = min(bt, B)
     while B % bt:
         bt -= 1
@@ -243,10 +268,10 @@ def qp_window_fused(state, prob, cfg: SolverConfig, window: int,
         jax.ShapeDtypeStruct((B, Hg, Wg), jnp.float32),   # y2
         jax.ShapeDtypeStruct((B, Hg, Wg), jnp.float32),   # z1
         jax.ShapeDtypeStruct((B, Hg, Wg), jnp.float32),   # z2
-        jax.ShapeDtypeStruct((B, Hs), jnp.float32),       # ring
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),          # count
-        jax.ShapeDtypeStruct((B, 1), jnp.float32),        # done
-        jax.ShapeDtypeStruct((B, 1), jnp.float32),        # cur_obj
+        jax.ShapeDtypeStruct((B, 1, Hs), jnp.float32),    # ring
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),       # count
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),     # done
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),     # cur_obj
     ]
     in_specs = [
         bs((8, Hg, Wg)),   # weights
@@ -258,10 +283,10 @@ def qp_window_fused(state, prob, cfg: SolverConfig, window: int,
         bs((Hg, Wg)),      # y2
         bs((Hg, Wg)),      # z1
         bs((Hg, Wg)),      # z2
-        bs((Hs,)),         # ring
-        bs((1,)),          # count
-        bs((1,)),          # done
-        bs((1,)),          # cur_obj
+        bs((1, Hs)),       # ring
+        bs((1, 1)),        # count
+        bs((1, 1)),        # done
+        bs((1, 1)),        # cur_obj
         pl.BlockSpec(memory_space=pltpu.SMEM),   # it
     ]
     out_specs = [bs(x.shape[1:]) for x in out_shapes]
@@ -271,15 +296,16 @@ def qp_window_fused(state, prob, cfg: SolverConfig, window: int,
         out_shape=out_shapes, interpret=interpret,
     )(prob.stencil.weights, prob.stencil.degree, state.b_eff, free_f,
       state.x, state.y1, state.y2, state.z1, state.z2,
-      state.obj_ring, state.obj_count[:, None], done_f[:, None],
-      state.cur_obj[:, None], jnp.array([state.it], jnp.int32))
+      state.obj_ring[:, None, :], state.obj_count[:, None, None],
+      done_f[:, None, None], state.cur_obj[:, None, None],
+      jnp.array([state.it], jnp.int32))
 
     (x, y1, y2, z1, z2, ring, count, done, cur_obj) = outs
     return state._replace(
         x=x, y1=y1, y2=y2, z1=z1, z2=z2,
-        obj_ring=ring, obj_count=count[:, 0],
-        it=state.it + window, done=done[:, 0] > 0.5,
-        cur_obj=cur_obj[:, 0])
+        obj_ring=ring[:, 0, :], obj_count=count[:, 0, 0],
+        it=state.it + window, done=done[:, 0, 0] > 0.5,
+        cur_obj=cur_obj[:, 0, 0])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_iters", "window",
