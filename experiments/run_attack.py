@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("-maxIter_e", type=int, default=2000)
     p.add_argument("-maxIter_g", type=int, default=2000)
     p.add_argument("-search", type=int, default=6)
+    p.add_argument("-init_lambda1", type=float, default=None,
+                   help="starting lambda1 for the binary search "
+                        "(default: the reference's 1e-3; random-init "
+                        "victims need ~10-100)")
     p.add_argument("-result_dir", default="result")
     p.add_argument("-dump_xiter", action="store_true",
                    help="record G trajectories for policy training")
@@ -89,6 +93,9 @@ def main():
     cfg = ATTACK_CONFIG.replace(
         k=args.k, segments=args.segments, maxIter_e=args.maxIter_e,
         maxIter_g=args.maxIter_g, lambda1_search_times=args.search)
+    if args.init_lambda1 is not None:
+        cfg = cfg.replace(init_lambda1=args.init_lambda1,
+                          lambda1=args.init_lambda1)
     pcfg = PolicyConfig(net=args.net, node_size=10, chunk_dim=5)
 
     imgs, labels, targets, paths = load_images(args)
