@@ -255,6 +255,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       policy_windows: int = 5,
                       min_bucket: int = 128, m_min_bucket: int = 64,
                       use_fused: bool = False,
+                      rho_boost_iters: int = 0,
                       interpret: Optional[bool] = None):
     """LP l2f solve with bucketed physical compaction.
 
@@ -312,6 +313,13 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
         if n_b < n_full or m_b < prob.m:
             state, prob, idx_map = _compact_jit(state, prob, cfg, n_b,
                                                 min(m_b, prob.m))
+        if rho_boost_iters:
+            # OPTIONAL acceleration beyond the reference: the residual
+            # (the policy's leftover hard variables) only binarizes once
+            # rho is large, so fast-forward the schedule by advancing
+            # the iteration counter.  Off by default (reference
+            # semantics); quality/speed trade-off measured in STATUS.md.
+            state = state._replace(it=state.it + rho_boost_iters)
         if fuse:
             from ..ops.pallas_lp import solve_fused_from
             state = solve_fused_from(state, prob, cfg,
