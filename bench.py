@@ -164,17 +164,24 @@ def run_solver(name, solve_fn, prob, base):
         f"it={int(state.it)}, done={int(np.asarray(state.done).sum())}"
         f"/{BATCH}")
     t0 = time.time()
-    state = solve_fn(prob._replace(b=prob.b * (1.0 + 1e-7)))
+    prob2 = prob._replace(b=prob.b * (1.0 + 1e-7))
+    state = solve_fn(prob2)
     jax_block(state)
     wall = time.time() - t0
 
+    import jax
     from lpbox_admm_tpu.core import lp
     it = int(state.it)
-    objs = np.asarray(lp.objective(state))
-    infeas = np.asarray(lp.infeasible_rows(state, prob))
+    # report the better of (last rounding, best feasible incumbent)
+    _, objs, infeas = jax.jit(lp.select_solution)(
+        prob2, lp.solution(state), lp.solution_best(state))
+    objs = np.asarray(objs)
+    objs_last = np.asarray(lp.objective(state))
+    infeas = np.asarray(infeas)
     log(f"{name}: wall={wall:.2f}s it={it} "
         f"done={int(np.asarray(state.done).sum())}/{BATCH} "
         f"mean_obj={objs.mean():.1f} "
+        f"(last-rounding mean={objs_last.mean():.1f}) "
         f"infeas_instances={int((infeas > 0).sum())} "
         f"({it * BATCH / wall:.0f} instance-iterations/s)")
     for i, obj_ref in enumerate(base["objs"]):
@@ -193,7 +200,7 @@ def bench_l2f(prob, plain_objs):
     """Learned-early-fixing benchmark using the trained CA-500 MHA
     checkpoint (scripts/train_ca500_policy.py), if present."""
     ckpt = os.path.join(ROOT, "checkpoints", "ca500_mha", "checkpoint",
-                        "best_checkpoint.cp")
+                        "best_checkpoint.npz")
     if not os.path.exists(ckpt):
         log("l2f: no trained checkpoint at checkpoints/ca500_mha; skip")
         return

@@ -122,7 +122,7 @@ def main():
             trainer = PolicyTrainer(pm, pcfg, ws=args.ws,
                                     save_dir=args.save_dir)
             path = args.checkpoint or os.path.join(
-                args.save_dir, "checkpoint", "best_checkpoint.cp")
+                args.save_dir, "checkpoint", "best_checkpoint.npz")
             ts = trainer.load(path)
             pv = trainer.variables(ts)
         t0 = time.time()

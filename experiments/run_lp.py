@@ -139,7 +139,7 @@ def main():
 
     if args.phase == "test":
         path = args.checkpoint or os.path.join(
-            args.save_dir, "checkpoint", "best_checkpoint.cp")
+            args.save_dir, "checkpoint", "best_checkpoint.npz")
         ts = trainer.load(path)
         m = trainer.evaluate(ts, eval_prob, eval_ds, compact=True)
         print(f"[Lpbox] oracle: mean obj "

@@ -153,7 +153,7 @@ def main():
 
     if args.phase == "test":
         path = args.checkpoint or os.path.join(
-            args.save_dir, "checkpoint", "best_checkpoint.cp")
+            args.save_dir, "checkpoint", "best_checkpoint.npz")
         ts = trainer.load(path)
         t0 = time.time()
         state = l2f.l2f_solve(eval_prob, model, trainer.variables(ts),

@@ -55,6 +55,17 @@ class SolverConfig:
     consistency: int = 5
     min_fix: int = 10                # fixes <= min_fix in a round are ignored
 
+    # Incumbent tracking.  The reference tracks best_bin_obj from x0
+    # (LPboxADMMsolver.cpp:727,1008-1011) but x0=1 already minimizes
+    # b.x, so its incumbent never updates and it reports the LAST
+    # rounding (allres.csv :1081) -- occasionally much worse than an
+    # earlier iterate's rounding.  With ``feasible_incumbent`` the
+    # solver instead tracks the best rounding that satisfies the
+    # (reduced) constraints, at the cost of one extra E-matvec per
+    # iteration; callers pick between last and incumbent with
+    # ``select_solution``.
+    feasible_incumbent: bool = True
+
     # Numerics
     dtype: str = "float32"
 

@@ -38,6 +38,7 @@ from ..ops.stats import dual_residuals, rel_std_obj
 from .problem import LpProblem
 
 _EPS = 2.2204e-16
+_BEST_INIT = 1e30     # "no feasible incumbent yet" sentinel
 HI = jax.lax.Precision.HIGHEST
 
 
@@ -95,6 +96,11 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     ex = jnp.einsum("bmn,bn->bm", prob.E, x, preferred_element_type=jnp.float32, precision=HI)
     y3 = prob.f - ex                      # (:720)
     cur_obj = jnp.sum(prob.b * x, axis=-1)  # best_bin_obj = b.x0 (:727)
+    # With feasible-incumbent tracking the x0=1 objective (the global
+    # minimum of b.x for b<=0) would freeze the incumbent forever, so
+    # start from +inf and let the first feasible rounding claim it.
+    best0 = jnp.full((B,), _BEST_INIT, dt) if cfg.feasible_incumbent \
+        else cur_obj
     if cfg.linsolve == "woodbury":
         factor = woodbury.factorize(prob.E, free, _wb_ratio(cfg))
         ginv, eet = factor.ginv, factor.eet
@@ -110,7 +116,7 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
         it=jnp.int32(0),
         done=jnp.zeros((B,), bool),
         cg_fail=jnp.zeros((B,), bool),
-        cur_obj=cur_obj, best_bin_obj=cur_obj, best_sol=x,
+        cur_obj=cur_obj, best_bin_obj=best0, best_sol=x,
         x_prev=jnp.zeros((B, n), dt),
         fix_count=jnp.zeros((B, n), jnp.int32),
         ex=ex, ginv=ginv, eet=eet,
@@ -253,6 +259,14 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     obj_bin = jnp.sum(prob.b * cur_idx, axis=-1)
     cur_obj = jnp.where(track, obj_bin, state.cur_obj)
     better = track & (state.best_bin_obj >= obj_bin)
+    if cfg.feasible_incumbent:
+        # only roundings that satisfy the reduced constraints on rows
+        # the free variables still couple to (cfg docstring)
+        exr = jnp.einsum("bmn,bn->bm", prob.E, cur_idx,
+                         preferred_element_type=jnp.float32, precision=HI)
+        feas = jnp.all((exr <= state.f_eff + 1e-6) | ~prob.row_mask,
+                       axis=-1)
+        better = better & feas
     best_bin_obj = jnp.where(better, obj_bin, state.best_bin_obj)
     best_sol = jnp.where(better[:, None], x, state.best_sol)
 
@@ -473,6 +487,11 @@ def compact(state: LpState, prob: LpProblem, cfg: SolverConfig,
         prob.E, jnp.broadcast_to(idx[:, None, :],
                                  (B, prob.m, n_new)), axis=-1)
     free2 = take(state.free)
+    # Zero the columns of already-fixed (padding) variables: their
+    # constraint contribution is baked into f_eff == prob2.f, so a later
+    # apply_fix on the compacted problem must not re-subtract them when
+    # it recomputes f_eff from E2 @ ((~free) * fixed_val).
+    E2 = E2 * free2[:, None, :].astype(E2.dtype)
     f2 = state.f_eff
     rmask2 = prob.row_mask
     y3_2, z4_2 = state.y3, state.z4
@@ -541,13 +560,47 @@ def objective_best(state: LpState) -> jnp.ndarray:
     the last iterate's rounding (allres.csv writes cur_obj, :1081); this
     accessor exposes the better incumbent -- a strict quality
     improvement available to callers who don't need reference parity.
+    Falls back to the last rounding while no (feasible) incumbent has
+    been recorded yet.
     """
     any_free = jnp.any(state.free, axis=-1)
-    return jnp.where(any_free, state.sum_fix_obj + state.best_bin_obj,
+    best = jnp.where(state.best_bin_obj >= _BEST_INIT, state.cur_obj,
+                     state.best_bin_obj)
+    return jnp.where(any_free, state.sum_fix_obj + best,
                      state.sum_fix_obj)
 
 
 def solution_best(state: LpState) -> jnp.ndarray:
-    """Full-width rounding of the best incumbent iterate."""
-    rounded = (state.best_sol >= 0.5).astype(state.x.dtype)
+    """Full-width rounding of the best incumbent iterate (falls back to
+    the last iterate while no incumbent has been recorded)."""
+    src = jnp.where((state.best_bin_obj >= _BEST_INIT)[:, None],
+                    state.x, state.best_sol)
+    rounded = (src >= 0.5).astype(state.x.dtype)
     return jnp.where(state.free, rounded, state.fixed_val)
+
+
+def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
+                    sol_best: jnp.ndarray):
+    """Pick, per instance, between the final rounding and the best
+    feasible incumbent rounding (both full-width, original indices).
+
+    The incumbent wins when it is feasible on the ORIGINAL problem and
+    either improves the objective or the final rounding is itself
+    infeasible.  Returns (sol, obj, infeasible_rows) of the selection.
+    A strict quality improvement over the reference, which always
+    reports the last rounding (allres.csv, :1081).
+    """
+    sols = jnp.stack([sol_last, sol_best], axis=1)          # (B, 2, n)
+    ex = jnp.einsum("bmn,bkn->bkm", prob.E, sols,
+                    preferred_element_type=jnp.float32, precision=HI)
+    viol = (ex > prob.f[:, None]) & prob.row_mask[:, None]
+    infeas = jnp.sum(viol, axis=-1)                          # (B, 2)
+    obj = jnp.einsum("bn,bkn->bk", prob.b, sols,
+                     preferred_element_type=jnp.float32, precision=HI)
+    use_best = (infeas[:, 1] == 0) \
+        & ((obj[:, 1] <= obj[:, 0]) | (infeas[:, 0] > 0))
+    k = use_best.astype(jnp.int32)
+    sol = jnp.take_along_axis(sols, k[:, None, None], axis=1)[:, 0]
+    obj_sel = jnp.take_along_axis(obj, k[:, None], axis=1)[:, 0]
+    inf_sel = jnp.take_along_axis(infeas, k[:, None], axis=1)[:, 0]
+    return sol, obj_sel, inf_sel

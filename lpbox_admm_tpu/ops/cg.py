@@ -32,7 +32,7 @@ _TINY = jnp.finfo(jnp.float32).tiny
 
 class CGResult(NamedTuple):
     x: jnp.ndarray          # (B, n) solution
-    iters: jnp.ndarray      # (B,) iterations taken
+    iters: jnp.ndarray      # (B,) iterations this row actually ran
     rel_residual: jnp.ndarray  # (B,) final ||r|| / ||rhs||
     failed: jnp.ndarray     # (B,) bool: p^T A p <= 0 encountered
 
@@ -87,11 +87,12 @@ def pcg(
     abs_new = _dot(r, p)
 
     def cond(carry):
-        x, r, p, abs_new, r_norm2, run, failed, i = carry
+        x, r, p, abs_new, r_norm2, run, failed, i, row_iters = carry
         return jnp.logical_and(i < maxiters, jnp.any(run))
 
     def body(carry):
-        x, r, p, abs_new, r_norm2, run, failed, i = carry
+        x, r, p, abs_new, r_norm2, run, failed, i, row_iters = carry
+        row_iters = row_iters + run.astype(jnp.int32)
         tmp = matvec(p)
         ptmp = _dot(p, tmp)
         bad = run & (ptmp <= 0.0)
@@ -112,13 +113,13 @@ def pcg(
         abs_new = jnp.where(still, new_abs, abs_new)
         failed = failed | bad
         run = still
-        return (x, r, p, abs_new, r_norm2, run, failed, i + 1)
+        return (x, r, p, abs_new, r_norm2, run, failed, i + 1, row_iters)
 
     failed0 = jnp.zeros((B,), dtype=bool)
-    carry = (x, r, p, abs_new, r_norm2, run, failed0, jnp.int32(0))
-    x, r, p, abs_new, r_norm2, run, failed, iters = jax.lax.while_loop(
-        cond, body, carry)
+    carry = (x, r, p, abs_new, r_norm2, run, failed0, jnp.int32(0),
+             jnp.zeros((B,), jnp.int32))
+    (x, r, p, abs_new, r_norm2, run, failed, _, row_iters
+     ) = jax.lax.while_loop(cond, body, carry)
 
     rel = jnp.sqrt(r_norm2 / jnp.maximum(rhs_norm2, _TINY))
-    iters_b = jnp.broadcast_to(iters, (B,))
-    return CGResult(x=x, iters=iters_b, rel_residual=rel, failed=failed)
+    return CGResult(x=x, iters=row_iters, rel_residual=rel, failed=failed)

@@ -11,9 +11,12 @@ matrix traffic (pallas_guide.md: HBM -> VMEM -> compute).
 Per grid cell: a block of ``bt`` instances.  The contractions are
 written as VPU multiply-reduce over the (bt, m, n) block (per-instance
 mat-vecs have MXU width 1 and are better on the VPU).  Semantics match
-core/lp.step's woodbury path exactly: box/sphere projections, y3 slack,
-rhs assembly, exact Woodbury solve with the PCG warm-start early exit,
-dual ascent, y1/y2 + objective-std stopping with per-instance freezing.
+core/lp.step's woodbury path: box/sphere projections, y3 slack, rhs
+assembly, exact Woodbury solve with the PCG warm-start early exit, dual
+ascent, y1/y2 + objective-std stopping with per-instance freezing, and
+(feasible-)incumbent tracking (best_bin_obj/best_sol).  NOT updated by
+the kernel: the rule-fixing counters x_prev/fix_count -- use the XLA
+path (core.lp.solve(rule_fixing=True)) for rule-based fixing.
 
 Memory budget per instance at (m, n) = (256, 512):
 E 512KB + G^{-1} 256KB + vectors ~25KB; bt = 8 fits comfortably in a
@@ -35,12 +38,14 @@ from ..config import SolverConfig
 _EPS = 2.2204e-16
 
 
-def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
+def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                    x_ref, z1_ref, z2_ref, z4_ref, feff_ref, free_ref,
-                   ring_ref, count_ref, done_ref, curobj_ref, it_ref,
+                   ring_ref, count_ref, done_ref, curobj_ref,
+                   bestobj_ref, bestsol_ref, it_ref,
                    # outputs (aliased state + extras)
                    x_out, z1_out, z2_out, z4_out, ring_out, count_out,
-                   done_out, curobj_out, y1_out, y2_out, y3_out, ex_out,
+                   done_out, curobj_out, bestobj_out, bestsol_out,
+                   y1_out, y2_out, y3_out, ex_out,
                    *maybe_traj, cfg: SolverConfig, window: int,
                    skip_cvg_at, record: bool = False):
     traj_out = maybe_traj[0] if record else None
@@ -49,6 +54,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
     b = b_ref[...]
     free = free_ref[...] > 0.5          # stored as f32 mask
     free_f = free_ref[...]
+    rmask = rmask_ref[...] > 0.5
     f_eff = feff_ref[...]
 
     n_act = jnp.sum(free_f, axis=-1, keepdims=True)
@@ -64,7 +70,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
         return jnp.sum(E * w[:, :, None], axis=1)
 
     def body(t, carry):
-        (x, z1, z2, z4, ring, count, done, cur_obj,
+        (x, z1, z2, z4, ring, count, done, cur_obj, best_obj, best_sol,
          y1c, y2c, y3c, exc) = carry
         # count/done/cur_obj are carried as (bt, 1) -- TPU Pallas
         # requires rank-2 blocks; squeeze views for row-wise logic
@@ -149,6 +155,14 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
         rounded = free_f * (x_new >= 0.5).astype(x.dtype)
         obj_bin = jnp.sum(b * rounded, axis=-1)
         cur_obj_n = jnp.where(track, obj_bin, cur_obj[:, 0])
+        # incumbent (best rounding seen), matching core/lp.step
+        better = track & (best_obj[:, 0] >= obj_bin)
+        if cfg.feasible_incumbent:
+            exr = fwd(rounded)
+            feas = jnp.all((exr <= f_eff + 1e-6) | ~rmask, axis=-1)
+            better = better & feas
+        best_obj_n = jnp.where(better, obj_bin, best_obj[:, 0])
+        best_sol_n = jnp.where(better[:, None], x_new, best_sol)
 
         if record:
             traj_out[:, pl.ds(t, 1), :] = x_new[:, None, :]
@@ -158,16 +172,18 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
                 jnp.where(act, z4n, z4),
                 ring_n, count_n[:, None],
                 done_n[:, None].astype(jnp.float32),
-                cur_obj_n[:, None],
+                cur_obj_n[:, None], best_obj_n[:, None], best_sol_n,
                 upd(y1, y1c), upd(y2, y2c), jnp.where(act, y3, y3c),
                 ex_new)
 
     ex0 = fwd(free_f * x_ref[...])
     carry = (x_ref[...], z1_ref[...], z2_ref[...], z4_ref[...],
              ring_ref[...], count_ref[...], done_ref[...],
-             curobj_ref[...], x_ref[...], x_ref[...], feff_ref[...], ex0)
+             curobj_ref[...], bestobj_ref[...], bestsol_ref[...],
+             x_ref[...], x_ref[...], feff_ref[...], ex0)
     carry = jax.lax.fori_loop(0, window, body, carry)
-    (x, z1, z2, z4, ring, count, done, cur_obj, y1, y2, y3, ex) = carry
+    (x, z1, z2, z4, ring, count, done, cur_obj, best_obj, best_sol,
+     y1, y2, y3, ex) = carry
     x_out[...] = x
     z1_out[...] = z1
     z2_out[...] = z2
@@ -176,6 +192,8 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref,
     count_out[...] = count
     done_out[...] = done
     curobj_out[...] = cur_obj
+    bestobj_out[...] = best_obj
+    bestsol_out[...] = best_sol
     y1_out[...] = y1
     y2_out[...] = y2
     y3_out[...] = y3
@@ -223,6 +241,8 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         jax.ShapeDtypeStruct((B, 1), jnp.int32),     # count
         jax.ShapeDtypeStruct((B, 1), jnp.float32),   # done
         jax.ShapeDtypeStruct((B, 1), jnp.float32),   # cur_obj
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),   # best_bin_obj
+        jax.ShapeDtypeStruct((B, n), jnp.float32),   # best_sol
         jax.ShapeDtypeStruct((B, n), jnp.float32),   # y1
         jax.ShapeDtypeStruct((B, n), jnp.float32),   # y2
         jax.ShapeDtypeStruct((B, m), jnp.float32),   # y3
@@ -236,6 +256,7 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         bs((m, m)),   # ginv
         bs((n,)),     # b
         bs((n,)),     # vmask
+        bs((m,)),     # rmask
         bs((n,)),     # x
         bs((n,)),     # z1
         bs((n,)),     # z2
@@ -246,6 +267,8 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         bs((1,)),     # count
         bs((1,)),     # done
         bs((1,)),     # cur_obj
+        bs((1,)),     # best_bin_obj
+        bs((n,)),     # best_sol
         pl.BlockSpec(memory_space=pltpu.SMEM),  # it (scalar)
     ]
     out_specs = [bs(x.shape[1:]) for x in out_shapes]
@@ -258,20 +281,23 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         out_shape=out_shapes,
         interpret=interpret,
     )(prob.E, state.ginv, prob.b, prob.var_mask.astype(jnp.float32),
+      prob.row_mask.astype(jnp.float32),
       state.x, state.z1, state.z2, state.z4, state.f_eff, free_f,
       state.obj_ring, state.obj_count[:, None], done_f[:, None],
-      state.cur_obj[:, None], jnp.array([state.it], jnp.int32))
+      state.cur_obj[:, None], state.best_bin_obj[:, None],
+      state.best_sol, jnp.array([state.it], jnp.int32))
 
-    (x, z1, z2, z4, ring, count, done, cur_obj, y1, y2, y3, ex
-     ) = outs[:12]
+    (x, z1, z2, z4, ring, count, done, cur_obj, best_obj, best_sol,
+     y1, y2, y3, ex) = outs[:14]
     new_state = state._replace(
         x=x, y1=y1, y2=y2, y3=y3, z1=z1, z2=z2, z4=z4,
         obj_ring=ring, obj_count=count[:, 0],
         it=state.it + window,
-        done=done[:, 0] > 0.5, cur_obj=cur_obj[:, 0], ex=ex)
+        done=done[:, 0] > 0.5, cur_obj=cur_obj[:, 0],
+        best_bin_obj=best_obj[:, 0], best_sol=best_sol, ex=ex)
     if record:
         # (B, W, n) -> (B, n, W) to match core.lp.solve_window
-        return new_state, jnp.swapaxes(outs[12], 1, 2)
+        return new_state, jnp.swapaxes(outs[14], 1, 2)
     return new_state
 
 

@@ -41,11 +41,15 @@ int64_t read_coo(const char* path, int64_t* rows, int64_t* cols,
         char* end;
         long r = strtol(p, &end, 10);
         if (end == p) break;
-        p = end + 1;  // skip ','
+        if (*end != ',') return -1;  // malformed line: fail, don't
+        p = end + 1;                 // fabricate zero triplets
         long c = strtol(p, &end, 10);
+        if (end == p || *end != ',') return -1;
         p = end + 1;
         double v = strtod(p, &end);
+        if (end == p) return -1;
         p = end;
+        if (*p != '\0' && *p != '\n' && *p != '\r') return -1;
         while (*p == '\n' || *p == '\r') p++;
         if (n < cap) {
             rows[n] = r;

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import functools
 import os
-import pickle
 import time
 from typing import Any, Dict, Iterable, NamedTuple, Optional, Tuple
 
@@ -146,6 +145,62 @@ class TrainState(NamedTuple):
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+
+
+def _path_leaves(tree) -> Dict[str, np.ndarray]:
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        out[key] = np.asarray(jax.device_get(leaf))
+    return out
+
+
+def checkpoint_arrays(ts: TrainState, epoch: int) -> Dict[str, np.ndarray]:
+    """Flatten a TrainState into a dict of plain arrays for np.savez."""
+    arrs = {}
+    for k, v in _path_leaves({"params": ts.params,
+                              "batch_stats": ts.batch_stats}).items():
+        arrs["v/" + k] = v
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(ts.opt_state)):
+        arrs[f"opt/{i:04d}"] = np.asarray(jax.device_get(leaf))
+    arrs["step"] = np.asarray(int(ts.step))
+    arrs["epoch"] = np.asarray(int(epoch))
+    return arrs
+
+
+def load_checkpoint(path: str, tx: optax.GradientTransformation
+                    ) -> TrainState:
+    """Load an .npz checkpoint written by PolicyTrainer.save.
+
+    ``allow_pickle`` stays False: loading a checkpoint can never execute
+    code.  ``tx`` must be the same optimizer the state was saved with
+    (its treedef re-hangs the saved opt leaves).
+    """
+    z = np.load(path, allow_pickle=False)
+
+    def insert(root, parts, val):
+        for p in parts[:-1]:
+            root = root.setdefault(p, {})
+        root[parts[-1]] = jnp.asarray(val)
+
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    for k in z.files:
+        if k.startswith("v/params/"):
+            insert(params, k[len("v/params/"):].split("/"), z[k])
+        elif k.startswith("v/batch_stats/"):
+            insert(batch_stats, k[len("v/batch_stats/"):].split("/"),
+                   z[k])
+    template = tx.init(params)
+    tleaves, tdef = jax.tree_util.tree_flatten(template)
+    okeys = sorted(k for k in z.files if k.startswith("opt/"))
+    assert len(okeys) == len(tleaves), (len(okeys), len(tleaves))
+    opt_state = jax.tree_util.tree_unflatten(
+        tdef, [jnp.asarray(z[k]) for k in okeys])
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state,
+                      step=jnp.int32(int(z["step"])))
 
 
 class PolicyTrainer:
@@ -295,30 +350,23 @@ class PolicyTrainer:
         return out
 
     # ---- checkpointing (reference trainer.py:599-643) -------------------
+    # Checkpoints are plain .npz archives of array leaves (no pickle:
+    # a checkpoint must not be able to execute code on load).  The
+    # params/batch_stats dicts are stored path-keyed; the optimizer
+    # state is stored as ordered leaves and re-hung on the treedef of a
+    # freshly-initialized optimizer for the loaded params.
     def save(self, ts: TrainState, epoch: int, best: bool = False):
         if not self.save_dir:
             return
         os.makedirs(os.path.join(self.save_dir, "checkpoint"), exist_ok=True)
-        name = "best_checkpoint.cp" if best else f"checkpoint_{epoch}.cp"
+        name = "best_checkpoint.npz" if best else f"checkpoint_{epoch}.npz"
         path = os.path.join(self.save_dir, "checkpoint", name)
-        payload = {
-            "params": jax.device_get(ts.params),
-            "batch_stats": jax.device_get(ts.batch_stats),
-            "opt_state": jax.device_get(ts.opt_state),
-            "step": int(ts.step),
-            "epoch": epoch,
-        }
+        arrs = checkpoint_arrays(ts, epoch)
         with open(path, "wb") as f:
-            pickle.dump(payload, f)
+            np.savez(f, **arrs)
 
     def load(self, path: str) -> TrainState:
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
-        return TrainState(
-            params=payload["params"],
-            batch_stats=payload["batch_stats"],
-            opt_state=payload["opt_state"],
-            step=jnp.int32(payload["step"]))
+        return load_checkpoint(path, self.tx)
 
     def train(self, ts: TrainState, datasets, eval_prob: LpProblem,
               eval_ds: TrajectoryDataset, num_epochs: Optional[int] = None,

@@ -239,14 +239,16 @@ def _compact_jit(state, prob, cfg, n_new, m_new):
 
 
 @jax.jit
-def _finalize(state, idx_map, fixed_full, free_full, orig_E, orig_f,
-              orig_row_mask, orig_var_mask):
-    sol_full = lp.scatter_solution(state, idx_map, fixed_full, free_full)
-    ex = jnp.einsum("bmn,bn->bm", orig_E, sol_full,
-                    preferred_element_type=jnp.float32)
-    infeas = jnp.sum((ex > orig_f) & orig_row_mask, axis=-1)
-    n_fixed = jnp.sum(~free_full & orig_var_mask, axis=-1)
-    return sol_full, infeas, n_fixed
+def _finalize(state, idx_map, fixed_full, free_full, orig_prob):
+    """Scatter the last rounding AND the best feasible incumbent back to
+    original indices, then pick per instance (core.lp.select_solution)."""
+    sol_last = lp.scatter_solution(state, idx_map, fixed_full, free_full)
+    state_b = state._replace(x=lp.solution_best(state))
+    sol_best = lp.scatter_solution(state_b, idx_map, fixed_full,
+                                   free_full)
+    sol, obj, infeas = lp.select_solution(orig_prob, sol_last, sol_best)
+    n_fixed = jnp.sum(~free_full & orig_prob.var_mask, axis=-1)
+    return sol, obj, infeas, n_fixed
 
 
 def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
@@ -256,7 +258,8 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       min_bucket: int = 128, m_min_bucket: int = 64,
                       use_fused: bool = False,
                       rho_boost_iters: int = 0,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      timings: Optional[dict] = None):
     """LP l2f solve with bucketed physical compaction.
 
     Three phases, two host round trips (host-driven per-window loops
@@ -278,7 +281,15 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
     binary solution, objective, iterations, fixing info and
     original-problem feasibility.
     """
+    import time as _time
+
     import numpy as np
+
+    def _mark(key, t0):
+        if timings is not None:
+            jax.block_until_ready(state)
+            timings[key] = timings.get(key, 0.0) + _time.time() - t0
+        return _time.time()
 
     if max_iter is None:
         max_iter = cfg.max_iters
@@ -294,9 +305,11 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
     fast = (pcfg.window_mode == "chunk"
             and "MHALayer_0" in variables.get("params", {}))
 
+    t0 = _time.time()
     state, max_free, max_rows = _policy_phase(
         state, prob, variables, model, cfg, pcfg, ws, policy_windows,
         fuse, fast, max_iter, interpret)
+    t0 = _mark("policy_s", t0)
 
     fixed_full = state.fixed_val
     free_full = state.free
@@ -313,6 +326,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
         if n_b < n_full or m_b < prob.m:
             state, prob, idx_map = _compact_jit(state, prob, cfg, n_b,
                                                 min(m_b, prob.m))
+        t0 = _mark("compact_s", t0)
         if rho_boost_iters:
             # OPTIONAL acceleration beyond the reference: the residual
             # (the policy's leftover hard variables) only binarizes once
@@ -327,13 +341,14 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                                      interpret=interpret)
         else:
             state = _residual_phase_xla(state, prob, cfg, ws, max_iter)
+        t0 = _mark("residual_s", t0)
 
-    sol_full, infeas, n_fixed = _finalize(
-        state, idx_map, fixed_full, free_full, orig_prob.E, orig_prob.f,
-        orig_prob.row_mask, orig_prob.var_mask)
+    sol_full, obj, infeas, n_fixed = _finalize(
+        state, idx_map, fixed_full, free_full, orig_prob)
     out = {
         "solution": sol_full,
-        "obj": lp.objective(state),
+        "obj": obj,
+        "obj_last": lp.objective(state),   # reference-parity accessor
         "iterations": state.it,
         "infeasible": infeas,
         "n_fixed": n_fixed,

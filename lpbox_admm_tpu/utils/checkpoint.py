@@ -6,15 +6,16 @@ solves are minutes-long.  Here every solver state is a NamedTuple pytree
 (SURVEY.md section 5), so checkpoint/resume works for *any* of them --
 useful for preempting long batched solves on shared TPU pods.
 
-Format: a pickle of {treedef_repr, leaves (numpy), meta}.  Restoring
-into the original NamedTuple type requires passing a matching
-``example`` pytree (its treedef is used to unflatten).
+Format: an .npz of ordered numpy leaves plus a JSON meta entry -- no
+pickle, so loading a checkpoint can never execute code.  Restoring into
+the original NamedTuple type requires passing a matching ``example``
+pytree (its treedef is used to unflatten).
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
 from typing import Any, Optional
 
 import jax
@@ -23,31 +24,29 @@ import numpy as np
 
 def save_pytree(path: str, tree: Any, meta: Optional[dict] = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    payload = {
-        "leaves": [np.asarray(jax.device_get(l)) for l in leaves],
-        "treedef": str(treedef),
-        "meta": meta or {},
-    }
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    arrs = {f"leaf/{i:05d}": np.asarray(jax.device_get(l))
+            for i, l in enumerate(leaves)}
+    arrs["meta"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
     with open(path, "wb") as f:
-        pickle.dump(payload, f)
+        np.savez(f, **arrs)
 
 
 def load_pytree(path: str, example: Any) -> Any:
     """Restore a pytree saved by save_pytree into the structure of
     ``example`` (e.g. an ``init_state(...)`` result with the same
     shapes)."""
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    z = np.load(path, allow_pickle=False)
     leaves, treedef = jax.tree_util.tree_flatten(example)
-    saved = payload["leaves"]
-    if len(saved) != len(leaves):
+    keys = sorted(k for k in z.files if k.startswith("leaf/"))
+    if len(keys) != len(leaves):
         raise ValueError(
-            f"checkpoint has {len(saved)} leaves, example has "
+            f"checkpoint has {len(keys)} leaves, example has "
             f"{len(leaves)}")
-    return jax.tree_util.tree_unflatten(treedef, saved)
+    return jax.tree_util.tree_unflatten(treedef, [z[k] for k in keys])
 
 
 def load_meta(path: str) -> dict:
-    with open(path, "rb") as f:
-        return pickle.load(f)["meta"]
+    z = np.load(path, allow_pickle=False)
+    return json.loads(bytes(z["meta"]).decode())

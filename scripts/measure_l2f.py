@@ -1,0 +1,139 @@
+"""TPU measurement: l2f phase breakdown + rho_boost sweep vs plain fused.
+
+Answers VERDICT round-2 item 1: where does l2f wall-clock go, and what
+does ``rho_boost_iters`` buy.  Run on the real TPU chip (default env):
+
+    python scripts/measure_l2f.py [--ks 0,2000,5000,10000]
+
+Hazards honoured (CLAUDE.md): problems passed as jit args, data
+perturbed between timed runs to defeat the remote-execution dedup
+cache, no jax.profiler.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ks", default="0,2000,5000,10000")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--policy-windows", type=int, default=5)
+    ap.add_argument("--skip-plain", action="store_true")
+    args = ap.parse_args()
+    ks = [int(k) for k in args.ks.split(",")]
+
+    from bench import get_instances
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG, PolicyConfig
+    from lpbox_admm_tpu.core import lp
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.ops import pallas_lp
+    from lpbox_admm_tpu.train import l2f
+    from lpbox_admm_tpu.train.imitation import PolicyTrainer
+
+    insts = get_instances()[:args.batch]
+    B = len(insts)
+    prob = ca.make_problem(insts)
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    print(f"devices={jax.devices()} problem E{prob.E.shape}", flush=True)
+
+    seq = [0]
+
+    def perturbed():
+        seq[0] += 1
+        return prob._replace(b=prob.b * (1.0 + 1e-7 * seq[0]))
+
+    results = {}
+
+    # ---- plain fused -----------------------------------------------------
+    plain_objs = None
+    if not args.skip_plain:
+        for feas_inc in (True, False):
+            c = cfg.replace(feasible_incumbent=feas_inc)
+            t0 = time.time()
+            st = pallas_lp.solve_fused(perturbed(), c, window=100, bt=8)
+            jax.block_until_ready(st)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            p2 = perturbed()
+            st = pallas_lp.solve_fused(p2, c, window=100, bt=8)
+            jax.block_until_ready(st)
+            wall = time.time() - t0
+            sol, objs, infeas = jax.jit(lp.select_solution)(
+                p2, lp.solution(st), lp.solution_best(st))
+            objs = np.asarray(objs)
+            lastobjs = np.asarray(lp.objective(st))
+            if feas_inc:
+                plain_objs = objs
+            print(f"plain fused feas_inc={feas_inc}: wall={wall:.2f}s "
+                  f"({B/wall:.1f} inst/s) it={int(st.it)} "
+                  f"compile+1st={compile_s:.1f}s "
+                  f"mean_obj={objs.mean():.1f} last={lastobjs.mean():.1f} "
+                  f"infeas={int((np.asarray(infeas)>0).sum())}", flush=True)
+            results[f"plain_feas{int(feas_inc)}"] = {
+                "wall_s": wall, "inst_per_s": B / wall,
+                "mean_obj": float(objs.mean())}
+
+    # ---- l2f sweep -------------------------------------------------------
+    ckpt = os.path.join(ROOT, "checkpoints", "ca500_mha", "checkpoint",
+                        "best_checkpoint.npz")
+    pcfg = PolicyConfig(net="mha")
+    model = build_policy("mha")
+    trainer = PolicyTrainer(model, pcfg, cfg, ws=100)
+    ts = trainer.load(ckpt)
+    variables = trainer.variables(ts)
+
+    if plain_objs is None:
+        p2 = perturbed()
+        st = pallas_lp.solve_fused(p2, cfg, window=100, bt=8)
+        _, plain_objs, _ = jax.jit(lp.select_solution)(
+            p2, lp.solution(st), lp.solution_best(st))
+        plain_objs = np.asarray(plain_objs)
+
+    for K in ks:
+        # warm-up/compile run, then timed run on perturbed data
+        for timed in (False, True):
+            tm = {}
+            p2 = perturbed()
+            t0 = time.time()
+            st, out = l2f.l2f_solve_compact(
+                p2, model, variables, cfg, pcfg, ws=100,
+                policy_windows=args.policy_windows, use_fused=True,
+                rho_boost_iters=K, timings=tm)
+            np.asarray(out["solution"])
+            wall = time.time() - t0
+            if not timed:
+                print(f"l2f K={K}: compile+1st={wall:.1f}s", flush=True)
+                continue
+            objs = np.asarray(out["obj"])
+            gap = (objs - plain_objs) / np.abs(plain_objs)
+            infeas = np.asarray(out["infeasible"])
+            print(f"l2f K={K}: wall={wall:.2f}s ({B/wall:.1f} inst/s) "
+                  f"it={int(out['iterations'])} "
+                  f"gap mean={gap.mean():+.4f} max={gap.max():+.4f} "
+                  f"fixed={np.asarray(out['n_fixed']).mean():.0f} "
+                  f"infeas={int((infeas>0).sum())} timings="
+                  + json.dumps({k: round(v, 3) for k, v in tm.items()}),
+                  flush=True)
+            results[f"l2f_K{K}"] = {
+                "wall_s": wall, "inst_per_s": B / wall,
+                "gap_mean": float(gap.mean()), "gap_max": float(gap.max()),
+                "timings": tm}
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

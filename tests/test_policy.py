@@ -180,7 +180,7 @@ def test_trainer_end_to_end_small(lp_setup, tmp_path):
         ts, loss = tr.train_epoch(ts, [ds])
     assert loss < loss0, (loss0, loss)
     tr.save(ts, 0)
-    ts2 = tr.load(str(tmp_path / "checkpoint" / "checkpoint_0.cp"))
+    ts2 = tr.load(str(tmp_path / "checkpoint" / "checkpoint_0.npz"))
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b)),
