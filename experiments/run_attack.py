@@ -196,11 +196,31 @@ def main():
                 var_mask=jnp.ones((1, tr.shape[0]), bool),
                 oracle_obj=jnp.zeros((1,)),
                 oracle_iters=jnp.int32(tr.shape[1])))
+        # best-checkpoint selection on an in-loop l2f eval: success rate
+        # first, then mean L0 (the reference intends best-by-eval in SA
+        # trainer.py:437-464 -- its comparison is commented out and it
+        # saves every epoch; the LP trainer's live logic is the model)
+        best_key = None
+        lam_eval = jnp.full((imgs.shape[0],), cfg.init_lambda1,
+                            jnp.float32)
         for epoch in range(args.num_epochs):
             ts, loss = trainer.train_epoch(ts, datasets, n_episodes=3)
-            print(f"epoch {epoch}: loss={loss:.5f}")
+            res = attack.attack_single(
+                model, variables, jnp.asarray(imgs),
+                jnp.asarray(targets), jnp.asarray(Bm), jnp.asarray(nw),
+                cfg, lam_eval, use_l2f=True, policy_model=pm,
+                policy_variables=trainer.variables(ts), pcfg=pcfg)
+            asr = float(np.asarray(res["success"]).mean())
+            l0 = float(np.asarray(res["L0"]).mean())
+            key = (asr, -l0)               # higher asr, then lower L0
+            print(f"epoch {epoch}: loss={loss:.5f} eval asr={asr:.2f} "
+                  f"L0={l0:.0f}")
             trainer.save(ts, epoch)
-            trainer.save(ts, epoch, best=True)
+            if best_key is None or key > best_key:
+                best_key = key
+                trainer.save(ts, epoch, best=True)
+                print(f"  new best checkpoint (asr={asr:.2f}, "
+                      f"L0={l0:.0f})")
         return
 
 

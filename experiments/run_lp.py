@@ -108,8 +108,25 @@ def main():
     trainer = imitation.PolicyTrainer(model, pcfg, cfg, ws=args.ws,
                                       save_dir=args.save_dir)
 
+    # optional data-parallel mesh: instance batches shard over devices,
+    # params replicate; jit inserts the gradient psum (SURVEY.md 2.4)
+    mesh = None
+    if args.mesh:
+        from lpbox_admm_tpu.parallel.mesh import (make_mesh,
+                                                  replicate_pytree,
+                                                  shard_batch_pytree)
+        mesh = make_mesh(args.mesh)
+        print(f"data-parallel mesh over {args.mesh} devices")
+
+    def maybe_shard(tree):
+        return shard_batch_pytree(tree, mesh) if mesh is not None \
+            else tree
+
+    def maybe_replicate(tree):
+        return replicate_pytree(tree, mesh) if mesh is not None else tree
+
     n_train = args.n - args.n_eval
-    eval_prob = load_problem(args, n_train, args.n)
+    eval_prob = maybe_shard(load_problem(args, n_train, args.n))
     eval_ds = imitation.build_dataset(eval_prob, cfg,
                                       record_iters=args.record_iters)
 
@@ -125,13 +142,14 @@ def main():
         datasets = []
         for lo in range(0, n_train, args.batch):
             hi = min(lo + args.batch, n_train)
-            prob = load_problem(args, lo, hi)
+            prob = maybe_shard(load_problem(args, lo, hi))
             datasets.append(imitation.build_dataset(
                 prob, cfg, record_iters=args.record_iters))
             log(f"dataset {lo + 1}..{hi} built "
                 f"(oracle iters {int(datasets[-1].oracle_iters)})")
         ts = trainer.init(jax.random.PRNGKey(args.seed),
                           jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim)))
+        ts = maybe_replicate(ts)
         trainer.train(ts, datasets, eval_prob, eval_ds,
                       num_epochs=args.num_epochs, log=log)
         logf.close()
@@ -140,7 +158,7 @@ def main():
     if args.phase == "test":
         path = args.checkpoint or os.path.join(
             args.save_dir, "checkpoint", "best_checkpoint.npz")
-        ts = trainer.load(path)
+        ts = maybe_replicate(trainer.load(path))
         m = trainer.evaluate(ts, eval_prob, eval_ds, compact=True)
         print(f"[Lpbox] oracle: mean obj "
               f"{float(eval_ds.oracle_obj.mean()):.2f}, "

@@ -71,25 +71,7 @@ def main():
     paths = paths[:args.n]
     os.makedirs(args.result_dir, exist_ok=True)
 
-    prob = seg.load_problem(paths, num_nodes=args.num_nodes,
-                            align=args.fused)
-
-    if args.phase == "solve" and args.fused:
-        from lpbox_admm_tpu.ops import pallas_qp
-        t0 = time.time()
-        state = pallas_qp.solve_fused(prob, cfg, window=5 * args.ws)
-        e = np.asarray(qp.energy(state, prob))
-        wall = time.time() - t0
-        H, W = prob.grid
-        sol = np.asarray(qp.solution(state))
-        for i, p in enumerate(paths):
-            name = os.path.splitext(os.path.basename(p))[0]
-            seg.save_img(sol[i], np.asarray(prob.mask[i]),
-                         os.path.join(args.result_dir,
-                                      f"output_{name}.png"))
-        print(f"fused-solved {len(paths)} images in {wall:.1f}s "
-              f"({int(state.it)} iters); mean energy {e.mean():.1f}")
-        return
+    prob = seg.load_problem(paths, num_nodes=args.num_nodes)
 
     if args.phase == "solve":
         t0 = time.time()

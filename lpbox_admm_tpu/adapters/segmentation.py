@@ -108,8 +108,8 @@ def make_problem(images: Sequence[np.ndarray],
     QP; padded pixels have zero weights/costs and mask False.
 
     ``align=True`` additionally pads H to a multiple of 8 and W to a
-    multiple of 128 (TPU tile alignment, required by the fused stencil
-    kernel ops/pallas_qp.py)."""
+    multiple of 128 (TPU (8, 128) tile alignment, useful when feeding
+    the grids to custom kernels)."""
     B = len(images)
     Hs = [im.shape[0] for im in images]
     Ws = [im.shape[1] for im in images]

@@ -98,6 +98,92 @@ def make_general(A=None, b=None, C=None, d=None, E=None, f=None,
                           var_mask=jnp.asarray(var_mask))
 
 
+class GridGeneralProblem(NamedTuple):
+    """Constrained binary QP whose A is an implicit grid stencil.
+
+    The reference's generic ``ADMM_bqp`` consumes arbitrary Eigen sparse
+    matrices and reaches 1e4+ variables (Seg LPboxADMMsolver.cpp
+    :1384-1834).  The dense ``GeneralProblem`` caps out at a few
+    thousand variables (O(n^2) HBM for A); this variant stores A as the
+    segmentation stencil (ops/stencil.py: 8 shifted multiply planes, the
+    TPU-native sparse format for grids) while keeping the constraint
+    blocks dense -- realistic eq/ineq systems on grids have FEW rows
+    (cardinality, region budgets), so (B, mc, n) with small mc is cheap.
+    n = H * W; x is carried flat."""
+
+    weights: jnp.ndarray   # (B, 8, H, W) stencil neighbour weights
+    degree: jnp.ndarray    # (B, H, W) = diag(A)
+    b: jnp.ndarray         # (B, n)
+    C: jnp.ndarray         # (B, mc, n)
+    d: jnp.ndarray         # (B, mc)
+    E: jnp.ndarray         # (B, mi, n)
+    f: jnp.ndarray         # (B, mi)
+    var_mask: jnp.ndarray  # (B, n)
+
+    @property
+    def batch(self) -> int:
+        return self.b.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.b.shape[-1]
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return self.degree.shape[-2], self.degree.shape[-1]
+
+
+def make_grid_general(weights, b, C=None, d=None, E=None, f=None,
+                      var_mask=None) -> GridGeneralProblem:
+    """Build a GridGeneralProblem from (B, 8, H, W) stencil weights
+    (A = diag(W 1) - W) and optional dense constraint blocks."""
+    import numpy as np
+
+    from ..ops.stencil import build_stencil
+
+    st = build_stencil(jnp.asarray(weights, jnp.float32))
+    B = st.weights.shape[0]
+    H, W = st.grid
+    n = H * W
+    b = jnp.asarray(b, jnp.float32).reshape(B, n)
+    zr = lambda mrows: (jnp.zeros((B, mrows, n), jnp.float32),
+                        jnp.zeros((B, mrows), jnp.float32))
+    if C is None:
+        C, d = zr(0)
+    else:
+        C = jnp.asarray(C, jnp.float32).reshape(B, -1, n)
+        d = jnp.asarray(d, jnp.float32).reshape(B, -1)
+    if E is None:
+        E, f = zr(0)
+    else:
+        E = jnp.asarray(E, jnp.float32).reshape(B, -1, n)
+        f = jnp.asarray(f, jnp.float32).reshape(B, -1)
+    if var_mask is None:
+        var_mask = jnp.ones((B, n), bool)
+    return GridGeneralProblem(weights=st.weights, degree=st.degree,
+                              b=b, C=C, d=d, E=E, f=f,
+                              var_mask=jnp.asarray(var_mask))
+
+
+def _A_mv(prob, xf: jnp.ndarray) -> jnp.ndarray:
+    """A @ xf for either problem representation (trace-time dispatch)."""
+    if isinstance(prob, GridGeneralProblem):
+        from ..ops.stencil import Stencil
+
+        B, n = xf.shape
+        H, W = prob.grid
+        st = Stencil(weights=prob.weights, degree=prob.degree)
+        return st.a_matvec(xf.reshape(B, H, W)).reshape(B, n)
+    return _mv(prob.A, xf)
+
+
+def _A_diag(prob) -> jnp.ndarray:
+    if isinstance(prob, GridGeneralProblem):
+        B = prob.batch
+        return prob.degree.reshape(B, prob.n)
+    return jnp.einsum("bnn->bn", prob.A)
+
+
 class GeneralState(NamedTuple):
     x: jnp.ndarray
     y1: jnp.ndarray
@@ -137,7 +223,7 @@ def _mtv(M, v):
 def reduced_cost(prob: GeneralProblem, state, x) -> jnp.ndarray:
     free_f = state.free.astype(x.dtype)
     xf = free_f * x
-    ax = free_f * _mv(prob.A, xf)
+    ax = free_f * _A_mv(prob, xf)
     return jnp.sum(xf * ax, axis=-1) + jnp.sum(state.b_eff * xf, axis=-1)
 
 
@@ -196,12 +282,12 @@ def step(state: GeneralState, prob: GeneralProblem, cfg: SolverConfig,
 
     def matvec(p):
         pf = free_f * p
-        out = 2.0 * _mv(prob.A, pf) + c * pf
+        out = 2.0 * _A_mv(prob, pf) + c * pf
         out = out + rho3 * _mtv(prob.C, _mv(prob.C, pf))
         out = out + rho4 * _mtv(prob.E, _mv(prob.E, pf))
         return free_f * out
 
-    a_diag = jnp.einsum("bnn->bn", prob.A)
+    a_diag = _A_diag(prob)
     diag = (2.0 * a_diag + c
             + rho3 * jnp.sum(prob.C * prob.C, axis=1)
             + rho4 * jnp.sum(prob.E * prob.E, axis=1))
@@ -292,7 +378,7 @@ def apply_fix(state: GeneralState, prob: GeneralProblem, vec,
     fixed_f = (~free).astype(dt) * fixed_val
 
     b_eff = jnp.where(do[:, None],
-                      prob.b + 2.0 * _mv(prob.A, fixed_f), state.b_eff)
+                      prob.b + 2.0 * _A_mv(prob, fixed_f), state.b_eff)
     d_eff = jnp.where(do[:, None], prob.d - _mv(prob.C, fixed_f),
                       state.d_eff)
     f_eff = jnp.where(do[:, None], prob.f - _mv(prob.E, fixed_f),
@@ -320,7 +406,7 @@ def solution(state: GeneralState) -> jnp.ndarray:
 def objective(state: GeneralState, prob: GeneralProblem) -> jnp.ndarray:
     """Full objective of the restored solution on the original A, b."""
     x = solution(state) * prob.var_mask.astype(state.x.dtype)
-    return jnp.sum(x * _mv(prob.A, x), axis=-1) \
+    return jnp.sum(x * _A_mv(prob, x), axis=-1) \
         + jnp.sum(prob.b * x, axis=-1)
 
 

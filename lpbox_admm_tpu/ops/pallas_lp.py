@@ -38,6 +38,24 @@ from ..config import SolverConfig
 _EPS = 2.2204e-16
 
 
+def auto_bt(B: int, m: int, n: int, extra_per_inst: int = 0,
+            budget: int = 10 * 1024 * 1024) -> int:
+    """Largest power-of-two instance block that (a) divides B and (b)
+    keeps the per-grid-cell VMEM footprint under ``budget``.
+
+    Small (compacted) problems want large blocks: at (m, n) = (128, 128)
+    a bt=8 cell does only ~0.6 MFLOP per E-pass and launch overhead
+    dominates; bt=64 keeps the VPU busy.  Footprint per instance:
+    E (m n) + G^{-1} (m m) + ~8 n-vectors + ~6 m-vectors + extras
+    (e.g. a recorded trajectory window), all f32.
+    """
+    per = 4 * (m * n + m * m + 8 * n + 6 * m + extra_per_inst)
+    bt = 1
+    while bt * 2 <= B and B % (bt * 2) == 0 and per * bt * 2 <= budget:
+        bt *= 2
+    return bt
+
+
 def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                    x_ref, z1_ref, z2_ref, z4_ref, feff_ref, free_ref,
                    ring_ref, count_ref, done_ref, curobj_ref,

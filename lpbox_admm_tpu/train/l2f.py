@@ -83,7 +83,8 @@ def scores_to_vec(sig: jnp.ndarray, confidence: float) -> jnp.ndarray:
 def _core_of(problem) -> object:
     if isinstance(problem, LpProblem):
         return lp
-    if isinstance(problem, general.GeneralProblem):
+    if isinstance(problem, (general.GeneralProblem,
+                            general.GridGeneralProblem)):
         return general
     return qp
 
@@ -178,15 +179,19 @@ def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "model", "cfg", "pcfg", "ws", "policy_windows", "fuse", "fast",
+    "model", "cfg", "pcfg", "ws", "policy_windows", "fuse", "scorer",
     "max_iter", "interpret"))
 def _policy_phase(state, prob, variables, model, cfg, pcfg, ws,
-                  policy_windows, fuse, fast, max_iter, interpret):
+                  policy_windows, fuse, scorer, max_iter, interpret):
     """Jitted phase 1 of l2f_solve_compact (module-level so repeat calls
     hit the jit cache)."""
 
     def score_rows(rows):
-        if fast:
+        if scorer == "pallas":
+            from ..models.pallas_policy import policy_scores_pallas
+            return policy_scores_pallas(variables, rows, pcfg,
+                                        interpret=interpret)
+        if scorer == "fast":
             from ..models.fast_policy import fast_policy_scores
             return fast_policy_scores(variables, rows, pcfg)
         return policy_scores(model, variables, rows, pcfg)
@@ -259,6 +264,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       use_fused: bool = False,
                       rho_boost_iters: int = 0,
                       interpret: Optional[bool] = None,
+                      scorer: Optional[str] = None,
                       timings: Optional[dict] = None):
     """LP l2f solve with bucketed physical compaction.
 
@@ -302,13 +308,17 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
     B, n_full = state.x.shape
     fuse = use_fused and cfg.linsolve == "woodbury" and B % 8 == 0 \
         and prob.n * ws <= 64 * 1024
-    fast = (pcfg.window_mode == "chunk"
-            and "MHALayer_0" in variables.get("params", {}))
+    params = variables.get("params", {})
+    if scorer is None:
+        # the fused Pallas forward handles both window modes and the
+        # MHA/MLP encoders; fall back to model.apply for anything else
+        scorer = "pallas" if ("Dense_0" in params
+                              and "Classifier_0" in params) else "model"
 
     t0 = _time.time()
     state, max_free, max_rows = _policy_phase(
         state, prob, variables, model, cfg, pcfg, ws, policy_windows,
-        fuse, fast, max_iter, interpret)
+        fuse, scorer, max_iter, interpret)
     t0 = _mark("policy_s", t0)
 
     fixed_full = state.fixed_val
@@ -335,9 +345,10 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
             # semantics); quality/speed trade-off measured in STATUS.md.
             state = state._replace(it=state.it + rho_boost_iters)
         if fuse:
-            from ..ops.pallas_lp import solve_fused_from
+            from ..ops.pallas_lp import auto_bt, solve_fused_from
             state = solve_fused_from(state, prob, cfg,
                                      max_iters=max_iter, window=ws,
+                                     bt=auto_bt(B, prob.m, prob.n),
                                      interpret=interpret)
         else:
             state = _residual_phase_xla(state, prob, cfg, ws, max_iter)

@@ -42,4 +42,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    choices=["cg", "woodbury"])
     p.add_argument("-data_dir", default="data",
                    help="instance/trajectory data root")
+    p.add_argument("-mesh", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device); "
+                        "shards the instance batch over the first N "
+                        "devices, replicating policy params")
     return p

@@ -1,0 +1,155 @@
+"""CA scale ladder: throughput/quality at (items, bids) beyond 500 bids.
+
+The reference's readFile carries an instance ladder up to 2000 items
+(LinerProgramming/.../cython_solver/LPboxADMMsolver.cpp:2461-2486);
+round-1 only ever benchmarked (100, 500).  This script benches the XLA
+woodbury solver, the XLA CG solver and the fused Pallas kernel at each
+rung on the real TPU chip, with a cached single-instance CPU
+reference-semantics solve for objective sanity.
+
+    python scripts/bench_ladder.py [--rungs 100x500,200x1000,500x2000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+CACHE = os.path.join(ROOT, "bench_cache")
+
+RUNG_BATCH = {(100, 500): 128, (200, 1000): 64, (500, 2000): 64}
+
+
+def get_instances(n_items, n_bids, batch):
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"ca_{n_items}_{n_bids}_{batch}.npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=True)
+        return list(zip(z["prices"], z["Cs"]))
+    from lpbox_admm_tpu.adapters import ca
+    rng = np.random.RandomState(2207 + n_bids)
+    t0 = time.time()
+    insts = [ca.generate_cauction(rng, n_items=n_items, n_bids=n_bids)
+             for _ in range(batch)]
+    print(f"generated {batch} CA-({n_items},{n_bids}) in "
+          f"{time.time()-t0:.1f}s", flush=True)
+    np.savez(path,
+             prices=np.array([p for p, _ in insts], dtype=object),
+             Cs=np.array([C for _, C in insts], dtype=object))
+    return insts
+
+
+def cpu_oracle(n_items, n_bids, inst):
+    path = os.path.join(CACHE, f"cpu_oracle_{n_items}_{n_bids}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    from bench import cpu_reference_solve
+    t0 = time.time()
+    obj, iters = cpu_reference_solve(*inst)
+    out = {"obj": float(obj), "iters": int(iters),
+           "time_s": time.time() - t0}
+    with open(path, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rungs", default="200x1000,500x2000")
+    ap.add_argument("--skip-cpu", action="store_true")
+    args = ap.parse_args()
+    rungs = [tuple(int(v) for v in r.split("x"))
+             for r in args.rungs.split(",")]
+
+    import jax
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+    from lpbox_admm_tpu.ops import pallas_lp
+
+    print(f"devices={jax.devices()}", flush=True)
+    rngp = np.random.RandomState(11)
+    results = {}
+    for n_items, n_bids in rungs:
+        B = RUNG_BATCH.get((n_items, n_bids), 64)
+        insts = get_instances(n_items, n_bids, B)
+        prob = ca.make_problem(insts)
+        m, n = prob.m, prob.n
+        print(f"--- rung ({n_items},{n_bids}): B={B} E=({m},{n})",
+              flush=True)
+        oracle = None
+        if not args.skip_cpu:
+            oracle = cpu_oracle(n_items, n_bids, insts[0])
+            print(f"cpu oracle: obj={oracle['obj']:.1f} "
+                  f"iters={oracle['iters']} time={oracle['time_s']:.1f}s",
+                  flush=True)
+
+        def perturbed():
+            f = 1.0 + 1e-5 * rngp.rand(*prob.b.shape).astype(np.float32)
+            return prob._replace(b=prob.b * jnp.asarray(f))
+
+        rung_res = {"B": B, "m": m, "n": n,
+                    "cpu_oracle": oracle}
+        runs = [("xla-woodbury",
+                 lambda p: lp.solve(p, LP_CONFIG.replace(
+                     linsolve="woodbury"), window=100)),
+                ("xla-cg",
+                 lambda p: lp.solve(p, LP_CONFIG.replace(
+                     linsolve="cg"), window=100))]
+        bt = pallas_lp.auto_bt(B, m, n)
+        if 4 * (m * n + m * m + 8 * n + 6 * m) <= 12 * 1024 * 1024:
+            runs.append((f"pallas-fused(bt={bt})",
+                         lambda p: pallas_lp.solve_fused(
+                             p, LP_CONFIG.replace(linsolve="woodbury"),
+                             window=100, bt=bt)))
+        for name, fn in runs:
+            try:
+                t0 = time.time()
+                st = fn(perturbed())
+                np.asarray(st.x)
+                c_s = time.time() - t0
+                p2 = perturbed()
+                t0 = time.time()
+                st = fn(p2)
+                np.asarray(st.x)
+                wall = time.time() - t0
+                _, objs, infeas = jax.jit(lp.select_solution)(
+                    p2, lp.solution(st), lp.solution_best(st))
+                objs = np.asarray(objs)
+                line = {"wall_s": wall, "inst_per_s": B / wall,
+                        "iters": int(st.it),
+                        "mean_obj": float(objs.mean()),
+                        "obj0": float(objs[0]),
+                        "infeas_instances":
+                            int((np.asarray(infeas) > 0).sum()),
+                        "compile_s": c_s}
+                if oracle:
+                    line["gap0_vs_cpu"] = float(
+                        (objs[0] - oracle["obj"]) / abs(oracle["obj"]))
+                rung_res[name] = line
+                print(f"{name}: wall={wall:.2f}s ({B/wall:.1f} inst/s) "
+                      f"it={int(st.it)} mean_obj={objs.mean():.1f} "
+                      f"infeas={line['infeas_instances']} "
+                      + (f"gap0={line['gap0_vs_cpu']:+.4f}"
+                         if oracle else ""), flush=True)
+            except Exception as e:
+                print(f"{name} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+                rung_res[name] = {"error": str(e)[:300]}
+        results[f"{n_items}x{n_bids}"] = rung_res
+
+    out_path = os.path.join(CACHE, "ladder.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,11 +49,14 @@ def main():
     cfg = LP_CONFIG.replace(linsolve="woodbury")
     print(f"devices={jax.devices()} problem E{prob.E.shape}", flush=True)
 
-    seq = [0]
+    # per-run random perturbation: defeats the remote-execution dedup
+    # cache (a scalar 1e-7 factor proved too weak -- one run was served
+    # from cache at 0.00s) while moving objectives by < 0.001%
+    rngp = np.random.RandomState(7)
 
     def perturbed():
-        seq[0] += 1
-        return prob._replace(b=prob.b * (1.0 + 1e-7 * seq[0]))
+        f = 1.0 + 1e-5 * rngp.rand(*prob.b.shape).astype(np.float32)
+        return prob._replace(b=prob.b * jnp.asarray(f))
 
     results = {}
 
@@ -64,12 +67,12 @@ def main():
             c = cfg.replace(feasible_incumbent=feas_inc)
             t0 = time.time()
             st = pallas_lp.solve_fused(perturbed(), c, window=100, bt=8)
-            jax.block_until_ready(st)
-            compile_s = time.time() - t0
+            np.asarray(st.x)            # host fetch = real sync (axon
+            compile_s = time.time() - t0  # block_until_ready can lie)
             t0 = time.time()
             p2 = perturbed()
             st = pallas_lp.solve_fused(p2, c, window=100, bt=8)
-            jax.block_until_ready(st)
+            np.asarray(st.x)
             wall = time.time() - t0
             sol, objs, infeas = jax.jit(lp.select_solution)(
                 p2, lp.solution(st), lp.solution_best(st))
@@ -101,6 +104,30 @@ def main():
         _, plain_objs, _ = jax.jit(lp.select_solution)(
             p2, lp.solution(st), lp.solution_best(st))
         plain_objs = np.asarray(plain_objs)
+
+    # ---- policy-scorer micro-benchmark ----------------------------------
+    from lpbox_admm_tpu.models.fast_policy import fast_policy_scores
+    from lpbox_admm_tpu.models.pallas_policy import policy_scores_pallas
+    R = 65536
+    rows_np = np.random.RandomState(1).rand(R, 100).astype(np.float32)
+    for name, fn in [
+            ("fast", lambda r: fast_policy_scores(variables, r, pcfg)),
+            ("pallas", lambda r: policy_scores_pallas(variables, r,
+                                                      pcfg))]:
+        try:
+            np.asarray(fn(jnp.asarray(rows_np)))       # compile
+            rp = jnp.asarray(
+                rows_np * (1.0 + 1e-5 * rngp.rand(R, 1)
+                           ).astype(np.float32))
+            t0 = time.time()
+            out = np.asarray(fn(rp))
+            wall = time.time() - t0
+            print(f"scorer {name}: {R/wall/1e6:.2f}M rows/s "
+                  f"({wall*1e3:.1f} ms / {R} rows)", flush=True)
+            results[f"scorer_{name}_rows_per_s"] = R / wall
+        except Exception as e:
+            print(f"scorer {name} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
     for K in ks:
         # warm-up/compile run, then timed run on perturbed data

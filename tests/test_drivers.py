@@ -56,3 +56,22 @@ def test_run_attack_solve(tmp_path):
                      "-search", "1", "-segments", "20")
     assert "success rate" in out
     assert os.path.exists(tmp_path / "result" / "all_ori.csv")
+
+
+@pytest.mark.slow
+def test_run_attack_train_best_checkpoint(tmp_path):
+    """Train phase runs an in-loop l2f eval per epoch and keeps the best
+    checkpoint by (success rate, L0) -- the reference's intended
+    best-by-eval logic (SA trainer.py:437-464)."""
+    common = ["-n", "2", "-maxIter_e", "30", "-maxIter_g", "30",
+              "-search", "1", "-segments", "20", "-ws", "50"]
+    run_driver(tmp_path, "run_attack.py", "-phase", "solve",
+               "-dump_xiter", *common)
+    assert os.path.exists(tmp_path / "data" / "attack_xiter")
+    out = run_driver(tmp_path, "run_attack.py", "-phase", "train",
+                     "-num_epochs", "2", *common)
+    assert "eval asr=" in out
+    assert "new best checkpoint" in out
+    assert os.path.exists(
+        tmp_path / "saved_model" / "attack" / "mha" / "checkpoint" /
+        "best_checkpoint.npz")

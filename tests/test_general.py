@@ -151,3 +151,106 @@ def test_apply_fix_fold_in(rng):
         best = min(best, xx @ A @ xx + b @ xx)
     assert obj >= best - 1e-4
     assert obj - best <= 0.5 * (abs(best) + 1.0), (obj, best)
+
+
+def _grid_weights(rng, B, H, W):
+    """Random nonneg symmetric 8-neighbour weights for a (H, W) grid."""
+    from lpbox_admm_tpu.ops.stencil import OFFSETS
+
+    w = np.zeros((B, 8, H, W), np.float32)
+    base = rng.rand(B, 8, H, W).astype(np.float32)
+    # symmetrize: w[d][i,j] must equal w[opp(d)][i+dr, j+dc]
+    for d, (dr, dc) in enumerate(OFFSETS):
+        opp = OFFSETS.index((-dr, -dc))
+        if d < opp:
+            w[:, d] = base[:, d]
+    for d, (dr, dc) in enumerate(OFFSETS):
+        opp = OFFSETS.index((-dr, -dc))
+        if d > opp:
+            src = np.roll(w[:, opp], shift=(dr, dc), axis=(-2, -1))
+            w[:, d] = src
+    # zero out-of-bounds neighbours
+    for d, (dr, dc) in enumerate(OFFSETS):
+        if dr == -1:
+            w[:, d, 0, :] = 0
+        if dr == 1:
+            w[:, d, H - 1, :] = 0
+        if dc == -1:
+            w[:, d, :, 0] = 0
+        if dc == 1:
+            w[:, d, :, W - 1] = 0
+    return w
+
+
+def _dense_from_stencil(w):
+    """Materialize A = diag(W 1) - W from (8, H, W) planes."""
+    from lpbox_admm_tpu.ops.stencil import OFFSETS
+
+    _, H, W = w.shape[-3:]
+    n = H * W
+    A = np.zeros((n, n))
+    for d, (dr, dc) in enumerate(OFFSETS):
+        for i in range(H):
+            for j in range(W):
+                i2, j2 = i + dr, j + dc
+                if 0 <= i2 < H and 0 <= j2 < W:
+                    A[i * W + j, i2 * W + j2] -= w[d, i, j]
+    np.fill_diagonal(A, w.sum(axis=0).reshape(-1))
+    return A
+
+
+def test_grid_general_matches_dense(rng):
+    """Stencil-A path equals the dense path on a small grid (same
+    problem, both eq + ineq constraints; converged objectives compared
+    -- iterates are chaotic)."""
+    B, H, W = 2, 4, 4
+    n = H * W
+    w = _grid_weights(rng, B, H, W)
+    b = rng.randn(B, n).astype(np.float32) * 2
+    C = np.ones((B, 1, n), np.float32)
+    d = np.full((B, 1), 6.0, np.float32)
+    E = np.zeros((B, 1, n), np.float32)
+    E[:, 0, : n // 2] = 1.0
+    f = np.full((B, 1), 4.0, np.float32)
+
+    gprob = general.make_grid_general(w, b, C=C, d=d, E=E, f=f)
+    A_dense = np.stack([_dense_from_stencil(w[i]) for i in range(B)])
+    dprob = general.make_general(A=A_dense, b=b, C=C, d=d, E=E, f=f)
+
+    gst = general.solve(gprob, CFG, window=50)
+    dst = general.solve(dprob, CFG, window=50)
+    gobj = np.asarray(general.objective(gst, gprob))
+    dobj = np.asarray(general.objective(dst, dprob))
+    geq, gineq = general.constraint_violation(gst, gprob)
+    assert np.all(np.asarray(gineq) == 0)
+    assert np.all(np.asarray(geq) < 1.0)
+    # same algorithm, same data: converged objectives agree to a few %
+    denom = np.abs(dobj) + 1.0
+    assert np.all(np.abs(gobj - dobj) / denom < 0.1), (gobj, dobj)
+
+
+def test_grid_general_10k_vars():
+    """1e4-variable constrained grid problem solves without dense A
+    (the reference ADMM_bqp sparse regime, Seg cpp:1384-1834)."""
+    rng = np.random.RandomState(5)
+    B, H, W = 1, 100, 100
+    n = H * W
+    w = _grid_weights(rng, B, H, W) * 3.0
+    b = (rng.rand(B, n).astype(np.float32) - 0.45) * 4
+    # cardinality equality sum(x) = 4000 + budget on the top half
+    C = np.ones((B, 1, n), np.float32)
+    d = np.full((B, 1), 4000.0, np.float32)
+    E = np.zeros((B, 1, n), np.float32)
+    E[:, 0, : n // 2] = 1.0
+    f = np.full((B, 1), 1500.0, np.float32)
+    prob = general.make_grid_general(w, b, C=C, d=d, E=E, f=f)
+    cfg = CFG.replace(max_iters=3000)
+    st = general.solve(prob, cfg, window=100)
+    x = np.asarray(general.solution(st))[0]
+    assert set(np.unique(x)).issubset({0.0, 1.0})
+    eq, ineq = general.constraint_violation(st, prob)
+    # soft-constraint ADMM: near-feasible at convergence
+    assert abs(float(np.asarray(eq)[0])) < 0.02 * 4000
+    assert float(np.asarray(ineq)[0]) == 0
+    obj = float(np.asarray(general.objective(st, prob))[0])
+    assert np.isfinite(obj)

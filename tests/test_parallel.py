@@ -95,3 +95,58 @@ def test_graft_entry_points():
     out = jax.jit(fn)(*args)
     assert out.shape == (64, 1)
     ge.dryrun_multichip(8)
+
+
+def test_dp_train_epoch_matches_single(mesh, batch16):
+    """A FULL imitation epoch (dataset build -> episode batches ->
+    optimizer steps) with sharded data + replicated params reproduces
+    the single-device epoch (VERDICT r1 item 10)."""
+    from lpbox_admm_tpu.config import PolicyConfig
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.train import imitation
+
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    pcfg = PolicyConfig(net="mlp", node_size=4, chunk_dim=5)
+    model = build_policy("mlp")
+    trainer = imitation.PolicyTrainer(model, pcfg, cfg, ws=20)
+    ds = imitation.build_dataset(batch16, cfg, record_iters=200)
+
+    ts0 = trainer.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 5)))
+    ts_local, loss_local = trainer.train_epoch(ts0, [ds], n_episodes=5)
+
+    from lpbox_admm_tpu.parallel.mesh import (replicate_pytree,
+                                              shard_batch_pytree)
+    ds_sh = shard_batch_pytree(ds, mesh)
+    ts_rep = replicate_pytree(ts0, mesh)
+    ts_sh, loss_sh = trainer.train_epoch(ts_rep, [ds_sh], n_episodes=5)
+
+    np.testing.assert_allclose(float(loss_local), float(loss_sh),
+                               rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-5),
+        ts_local.params, ts_sh.params)
+
+
+def test_sharded_l2f_eval_matches_local(mesh, batch16):
+    """The full l2f eval loop (windowed solve + policy + masked fixing)
+    on a sharded batch equals the local run."""
+    from lpbox_admm_tpu.config import PolicyConfig
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.train import l2f
+
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    pcfg = PolicyConfig(net="mlp", node_size=4, chunk_dim=5)
+    model = build_policy("mlp")
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((2, 4, 5)), train=True)
+
+    local = l2f.l2f_solve(batch16, model, variables, cfg, pcfg, ws=20,
+                          max_iter=2000)
+    sh = l2f.l2f_solve(shard_batch_pytree(batch16, mesh), model,
+                       variables, cfg, pcfg, ws=20, max_iter=2000)
+    np.testing.assert_allclose(
+        np.asarray(lp.objective(local)), np.asarray(lp.objective(sh)),
+        rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(local.free),
+                                  np.asarray(sh.free))

@@ -210,25 +210,3 @@ def test_save_img(tmp_path, seg_batch):
     img = np.asarray(Image.open(path))
     assert img.shape == sol.shape
     assert set(np.unique(img)).issubset({0, 255})
-
-
-def test_fused_seg_solve_matches_xla():
-    """Fused stencil kernel (interpret mode) vs the XLA qp path on
-    aligned grids: same converged energies."""
-    from lpbox_admm_tpu.ops import pallas_qp
-
-    paths = seg.reference_image_paths()[:2]
-    prob = seg.load_problem(paths, num_nodes=400, align=True)
-    H, W = prob.grid
-    assert H % 8 == 0 and W % 128 == 0
-
-    ref = qp.solve(prob, SEG_CONFIG, max_iters=2000, window=50)
-    fused = pallas_qp.solve_fused(prob, SEG_CONFIG, max_iters=2000,
-                                  window=50, bt=2, interpret=True)
-    assert bool(jnp.all(fused.done))
-    e_ref = np.asarray(qp.energy(ref, prob))
-    e_fused = np.asarray(qp.energy(fused, prob))
-    gap = np.abs(e_fused - e_ref) / np.maximum(np.abs(e_ref), 1.0)
-    assert np.all(gap < 0.05), (e_fused, e_ref)
-    sol = np.asarray(qp.solution(fused))
-    assert set(np.unique(sol)).issubset({0.0, 1.0})
