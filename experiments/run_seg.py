@@ -37,13 +37,13 @@ def parse_args():
                         "generalization)")
     p.add_argument("-image_dir", default=None,
                    help="defaults to the reference's shipped images")
+    p.add_argument("-image_list", default=None,
+                   help="comma-separated reference image ids (e.g. the "
+                        "generalization list of Seg trainer.py:832); "
+                        "overrides -n/-n_eval slicing for -phase test")
     p.add_argument("-result_dir", default="result")
     p.add_argument("-max_eval_iters", type=int, default=30,
                    help="l2f iteration budget (Seg trainer.py:705)")
-    p.add_argument("-fused", action="store_true",
-                   help="use the experimental fused Pallas stencil "
-                        "kernel (solve phase; currently slower than "
-                        "the default XLA path on TPU)")
     return p.parse_args()
 
 
@@ -68,12 +68,12 @@ def main():
              if args.image_dir else seg.reference_image_paths())
     if args.image_dir:
         paths = [os.path.join(args.image_dir, p) for p in paths]
+    all_paths = paths
     paths = paths[:args.n]
     os.makedirs(args.result_dir, exist_ok=True)
 
-    prob = seg.load_problem(paths, num_nodes=args.num_nodes)
-
     if args.phase == "solve":
+        prob = seg.load_problem(paths, num_nodes=args.num_nodes)
         t0 = time.time()
         ds = imitation.build_dataset_qp(prob, cfg,
                                         record_iters=5 * args.ws)
@@ -102,16 +102,23 @@ def main():
                             save_dir=args.save_dir)
 
     n_train = args.n - args.n_eval
-    train_prob = seg.load_problem(paths[:n_train],
-                                  num_nodes=args.num_nodes)
-    eval_prob = seg.load_problem(paths[n_train:],
-                                 num_nodes=args.num_nodes)
-    train_ds = imitation.build_dataset_qp(train_prob, cfg,
-                                          record_iters=5 * args.ws)
+    eval_paths = paths[n_train:]
+    if args.image_list:
+        # the reference's hand-picked generalization images
+        # (_my_valid_2 my_list, Seg trainer.py:832)
+        ids = [int(v) for v in args.image_list.split(",")]
+        by_id = {os.path.splitext(os.path.basename(p))[0]: p
+                 for p in all_paths}
+        eval_paths = [by_id[str(i)] for i in ids]
+    eval_prob = seg.load_problem(eval_paths, num_nodes=args.num_nodes)
     eval_ds = imitation.build_dataset_qp(eval_prob, cfg,
                                          record_iters=5 * args.ws)
 
     if args.phase == "train":
+        train_prob = seg.load_problem(paths[:n_train],
+                                      num_nodes=args.num_nodes)
+        train_ds = imitation.build_dataset_qp(train_prob, cfg,
+                                              record_iters=5 * args.ws)
         ts = trainer.init(jax.random.PRNGKey(args.seed),
                           jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim)))
         best = None
@@ -148,7 +155,7 @@ def main():
                                    eval_prob.batch, *eval_prob.grid))
         H, W = eval_prob.grid
         sol = np.asarray(qp.solution(state))
-        for i, p in enumerate(paths[n_train:]):
+        for i, p in enumerate(eval_paths):
             name = os.path.splitext(os.path.basename(p))[0]
             seg.save_img(sol[i], np.asarray(eval_prob.mask[i]),
                          os.path.join(args.result_dir,
