@@ -243,7 +243,21 @@ def bench_l2f(prob, plain_objs):
         f"throughput={BATCH / wall:.1f} instances/s")
 
 
+
+def _enable_compile_cache():
+    """Persistent compilation cache: the axon remote compile can take
+    minutes; cache executables across processes."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     insts = get_instances()
     base = cpu_baseline(insts)
 

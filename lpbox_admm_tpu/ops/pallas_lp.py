@@ -199,7 +199,26 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
              ring_ref[...], count_ref[...], done_ref[...],
              curobj_ref[...], bestobj_ref[...], bestsol_ref[...],
              x_ref[...], x_ref[...], feff_ref[...], ex0)
-    carry = jax.lax.fori_loop(0, window, body, carry)
+    if record:
+        carry = jax.lax.fori_loop(0, window, body, carry)
+    else:
+        # early exit once every instance in the block is done: the
+        # residual phase is straggler-dominated (most instances converge
+        # long before the last), so done blocks stop paying for the
+        # window.  Not used with record=True, where callers expect the
+        # full (bt, window, n) trajectory buffer to be written.
+        bt = free_f.shape[0]
+
+        def wcond(c):
+            t, st = c
+            return jnp.logical_and(t < window, jnp.sum(st[6]) < bt)
+
+        def wbody(c):
+            t, st = c
+            return t + 1, body(t, st)
+
+        _, carry = jax.lax.while_loop(wcond, wbody,
+                                      (jnp.int32(0), carry))
     (x, z1, z2, z4, ring, count, done, cur_obj, best_obj, best_sol,
      y1, y2, y3, ex) = carry
     x_out[...] = x

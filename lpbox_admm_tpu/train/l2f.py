@@ -346,8 +346,11 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
             state = state._replace(it=state.it + rho_boost_iters)
         if fuse:
             from ..ops.pallas_lp import auto_bt, solve_fused_from
+            # large window + in-kernel all-done early exit: stragglers
+            # iterate inside one launch, finished blocks cost only DMA
             state = solve_fused_from(state, prob, cfg,
-                                     max_iters=max_iter, window=ws,
+                                     max_iters=max_iter,
+                                     window=max(ws, 1000),
                                      bt=auto_bt(B, prob.m, prob.n),
                                      interpret=interpret)
         else:

@@ -59,6 +59,19 @@ def cpu_oracle(n_items, n_bids, inst):
     return out
 
 
+
+def _enable_compile_cache():
+    """Persistent compilation cache: the axon remote compile can take
+    minutes; cache executables across processes."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rungs", default="200x1000,500x2000")
@@ -67,6 +80,7 @@ def main():
     rungs = [tuple(int(v) for v in r.split("x"))
              for r in args.rungs.split(",")]
 
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from lpbox_admm_tpu.adapters import ca

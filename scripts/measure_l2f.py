@@ -25,6 +25,19 @@ import jax
 import jax.numpy as jnp
 
 
+
+def _enable_compile_cache():
+    """Persistent compilation cache: the axon remote compile can take
+    minutes; cache executables across processes."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ks", default="0,2000,5000,10000")
@@ -34,6 +47,7 @@ def main():
     args = ap.parse_args()
     ks = [int(k) for k in args.ks.split(",")]
 
+    _enable_compile_cache()
     from bench import get_instances
     from lpbox_admm_tpu.adapters import ca
     from lpbox_admm_tpu.config import LP_CONFIG, PolicyConfig
