@@ -171,31 +171,60 @@ def main():
         return
 
     if args.phase == "train":
-        # policy training on recorded G trajectories (lista_kl.py)
+        # policy training on G trajectories (lista_kl.py).  Recorded
+        # CSVs (reference format) are used when present; otherwise the
+        # trajectories are generated on device in one batch -- no file
+        # round-trip (the reference dumps xiter/*.csv then re-reads
+        # them, generate_data.py; the LP path here shows the on-device
+        # alternative).
         from lpbox_admm_tpu.train.imitation import (TrajectoryDataset,
                                                     episode_batch)
         import jax.numpy as jnp
         xdir = os.path.join(args.data_dir, "attack_xiter")
         files = sorted(glob.glob(os.path.join(xdir, "*.csv")))
-        if not files:
-            raise SystemExit(
-                f"no trajectories in {xdir}; run -phase solve "
-                f"-dump_xiter first")
         pm = build_policy(args.net)
         trainer = PolicyTrainer(pm, pcfg, ws=args.ws,
                                 save_dir=args.save_dir)
         ts = trainer.init(jax.random.PRNGKey(args.seed),
                           jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim)))
         datasets = []
-        for fp in files:
-            tr = uio.read_xiter_csv(fp)          # (3072, T)
-            labels_i = (tr[:, -1] >= 0.5).astype(np.float32)
+        if files:
+            for fp in files:
+                tr = uio.read_xiter_csv(fp)          # (3072, T)
+                labels_i = (tr[:, -1] >= 0.5).astype(np.float32)
+                datasets.append(TrajectoryDataset(
+                    traj=jnp.asarray(tr[None]),
+                    labels=jnp.asarray(labels_i[None]),
+                    var_mask=jnp.ones((1, tr.shape[0]), bool),
+                    oracle_obj=jnp.zeros((1,)),
+                    oracle_iters=jnp.int32(tr.shape[1])))
+        else:
+            print("no recorded trajectories; generating on device")
+            lam = jnp.full((imgs.shape[0],), cfg.init_lambda1,
+                           jnp.float32)
+            res0 = attack.attack_single(
+                model, variables, jnp.asarray(imgs),
+                jnp.asarray(targets), jnp.asarray(Bm), jnp.asarray(nw),
+                cfg, lam)
+            eps = jnp.asarray(res0["epsilon"])
+            state = attack.init_attack_state(
+                jnp.ones_like(jnp.asarray(imgs)))
+            trajs = []
+            for w in range(3):
+                state, traj = attack.g_window(
+                    model, variables, jnp.asarray(imgs),
+                    jnp.asarray(targets), eps, state, jnp.asarray(Bm),
+                    jnp.asarray(nw), cfg, args.ws, lam, record=True)
+                trajs.append(traj)
+            traj = jnp.concatenate(trajs, axis=-1)
+            B_img = traj.shape[0]
+            rows = traj.reshape(B_img, -1, traj.shape[-1])
+            labels_d = (rows[:, :, -1] >= 0.5).astype(jnp.float32)
             datasets.append(TrajectoryDataset(
-                traj=jnp.asarray(tr[None]),
-                labels=jnp.asarray(labels_i[None]),
-                var_mask=jnp.ones((1, tr.shape[0]), bool),
-                oracle_obj=jnp.zeros((1,)),
-                oracle_iters=jnp.int32(tr.shape[1])))
+                traj=rows, labels=labels_d,
+                var_mask=jnp.ones(rows.shape[:2], bool),
+                oracle_obj=jnp.zeros((B_img,)),
+                oracle_iters=jnp.int32(rows.shape[-1])))
         # best-checkpoint selection on an in-loop l2f eval: success rate
         # first, then mean L0 (the reference intends best-by-eval in SA
         # trainer.py:437-464 -- its comparison is commented out and it

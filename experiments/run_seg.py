@@ -154,7 +154,8 @@ def main():
                                eval_ds.labels.reshape(
                                    eval_prob.batch, *eval_prob.grid))
         H, W = eval_prob.grid
-        sol = np.asarray(qp.solution(state))
+        sol, _ = qp.select_solution(state, eval_prob)
+        sol = np.asarray(sol)
         for i, p in enumerate(eval_paths):
             name = os.path.splitext(os.path.basename(p))[0]
             seg.save_img(sol[i], np.asarray(eval_prob.mask[i]),

@@ -80,7 +80,15 @@ class LpState(NamedTuple):
 
 def _wb_ratio(cfg: SolverConfig) -> float:
     # (rho1 + rho2) / rho4; constant because the LP preset shares one
-    # schedule across all rho's (LPboxADMMsolver.cpp:951-966).
+    # schedule across all rho's (LPboxADMMsolver.cpp:951-966).  A rho
+    # cap (Seg-style rho_upper_limit) or per-rho schedules would break
+    # this invariant -- the cached Woodbury factor would silently solve
+    # the wrong system -- so refuse instead.
+    if cfg.rho_upper_limit is not None:
+        raise ValueError(
+            "linsolve='woodbury' requires an uncapped shared rho "
+            "schedule ((rho1+rho2)/rho4 must stay constant); use "
+            "linsolve='cg' with rho_upper_limit")
     return 2.0
 
 

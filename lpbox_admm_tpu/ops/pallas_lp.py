@@ -98,10 +98,10 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
         kf = (it // cfg.rho_change_step).astype(jnp.float32)
         # Mosaic cannot lower powf; use exp(k * log(base))
         import math
+        # no rho cap here: woodbury mode requires an uncapped shared
+        # schedule (core.lp._wb_ratio raises otherwise)
         rho = cfg.initial_rho * jnp.exp(
             kf * math.log(cfg.learning_fact))
-        if cfg.rho_upper_limit is not None:
-            rho = jnp.minimum(rho, cfg.rho_upper_limit)
         gamma = jnp.maximum(
             cfg.gamma0 * jnp.exp(kf * math.log(cfg.gamma_factor)), 1.0)
         rho1 = rho2 = rho4 = rho

@@ -70,12 +70,19 @@ def build_dataset(prob: LpProblem, cfg: SolverConfig,
                   record_iters: int = 1000) -> TrajectoryDataset:
     """Run plain ADMM, recording the first ``record_iters`` iterations
     (the reference's xiter CSVs) and the converged rounding as labels
-    (getLabel: final iterate >= 0.5, trainer.py:80-90)."""
+    (getLabel: final iterate >= 0.5, trainer.py:80-90).
+
+    ``oracle_obj`` is the plain solve's REPORTED objective -- the
+    better of (last rounding, best feasible incumbent), matching what
+    solve callers report via select_solution -- so l2f objective gaps
+    compare equal reporting semantics on both sides."""
     state, traj = _record_then_converge(prob, cfg, record_iters)
     labels = lp.solution(state)
+    _, oracle, _ = jax.jit(lp.select_solution)(
+        prob, labels, lp.solution_best(state))
     return TrajectoryDataset(
         traj=traj, labels=labels, var_mask=prob.var_mask,
-        oracle_obj=lp.objective(state), oracle_iters=state.it)
+        oracle_obj=oracle, oracle_iters=state.it)
 
 
 def episode_batch(ds: TrajectoryDataset, pcfg: PolicyConfig, ws: int,
@@ -124,11 +131,14 @@ def build_dataset_qp(prob, cfg: SolverConfig,
     state = jax.lax.while_loop(cond, body, state)
     B = prob.batch
     labels = qp_core.solution(state)
+    # oracle = the REPORTED plain energy (best of last/incumbent), so
+    # l2f gaps compare equal reporting semantics (see build_dataset)
+    _, oracle = jax.jit(qp_core.select_solution)(state, prob)
     return TrajectoryDataset(
         traj=traj.reshape(B, -1, record_iters),
         labels=labels.reshape(B, -1),
         var_mask=prob.mask.reshape(B, -1),
-        oracle_obj=qp_core.energy(state, prob),
+        oracle_obj=oracle,
         oracle_iters=state.it)
 
 

@@ -157,8 +157,9 @@ def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
                    oracle_energy: jnp.ndarray,
                    labels: Optional[jnp.ndarray] = None) -> dict:
     """Segmentation eval metrics: energy gap + per-pixel agreement
-    (Seg trainer.py:745-771)."""
-    energy = qp.energy(state, prob)
+    (Seg trainer.py:745-771).  Energy/solution are the better of the
+    final rounding and the best incumbent (qp.select_solution)."""
+    sol, energy = qp.select_solution(state, prob)
     gap = (energy - oracle_energy) / jnp.abs(oracle_energy)
     fixed = (~state.free) & prob.mask
     out = {
@@ -168,7 +169,6 @@ def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
         "n_fixed": jnp.sum(fixed, axis=(-2, -1)),
     }
     if labels is not None:
-        sol = qp.solution(state)
         out["px_1_to_0"] = jnp.sum(
             ((labels == 1) & (sol == 0)) & prob.mask, axis=(-2, -1))
         out["px_0_to_1"] = jnp.sum(

@@ -173,3 +173,17 @@ def test_objective_best_never_worse(small_batch):
     assert np.all(best <= last + 1e-4), (best, last)
     solb = np.asarray(lp.solution_best(state))
     assert set(np.unique(solb)).issubset({0.0, 1.0})
+
+
+def test_woodbury_refuses_rho_cap():
+    """A rho_upper_limit breaks the cached (rho1+rho2)/rho4 Woodbury
+    invariant; the solver must refuse rather than silently solve the
+    wrong system."""
+    import pytest as _pytest
+
+    from lpbox_admm_tpu.adapters import ca
+
+    prob = ca.generate_batch(seed=0, count=2, n_items=10, n_bids=24)
+    bad = LP_CONFIG.replace(linsolve="woodbury", rho_upper_limit=100.0)
+    with _pytest.raises(ValueError, match="rho_upper_limit"):
+        lp.init_state(prob, bad)

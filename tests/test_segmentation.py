@@ -171,7 +171,14 @@ def test_qp_fix_math(seg_batch):
     state = qp.apply_fix(state, prob, vec, cfg)
     assert bool(jnp.all(state.done))
     e = np.asarray(qp.energy(state, prob))
-    np.testing.assert_allclose(e, np.asarray(ds.oracle_obj), rtol=1e-5)
+    # expected: the labels' own energy (ds.oracle_obj may be the better
+    # incumbent's energy, which fixing to the labels cannot reproduce)
+    x = labels * prob.mask
+    expect = np.asarray(
+        jnp.sum(x * prob.stencil.a_matvec(x), axis=(-2, -1))
+        + jnp.sum(prob.b * x, axis=(-2, -1)) + prob.const)
+    np.testing.assert_allclose(e, expect, rtol=1e-5)
+    assert np.all(np.asarray(ds.oracle_obj) <= expect + 1e-4)
 
 
 def test_sliding_tokens():
