@@ -196,14 +196,18 @@ def jax_block(tree):
     jax.block_until_ready(tree)
 
 
-def bench_l2f(prob, plain_objs):
+def bench_l2f(prob, plain_objs, rho_boost_iters=5000):
     """Learned-early-fixing benchmark using the trained CA-500 MHA
-    checkpoint (scripts/train_ca500_policy.py), if present."""
+    checkpoint (scripts/train_ca500_policy.py), if present.
+
+    Returns (instances/s, mean gap, max gap, infeasible count) or None.
+    ``rho_boost_iters`` fast-forwards the residual problem's rho ramp
+    (quality/speed frontier measured in STATUS.md)."""
     ckpt = os.path.join(ROOT, "checkpoints", "ca500_mha", "checkpoint",
                         "best_checkpoint.npz")
     if not os.path.exists(ckpt):
         log("l2f: no trained checkpoint at checkpoints/ca500_mha; skip")
-        return
+        return None
     import numpy as np
     import jax.numpy as jnp
     from lpbox_admm_tpu.config import LP_CONFIG, PolicyConfig
@@ -221,26 +225,36 @@ def bench_l2f(prob, plain_objs):
 
     t0 = time.time()
     _, out = l2f.l2f_solve_compact(prob, model, variables, cfg, pcfg,
-                                   ws=100, use_fused=True)
+                                   ws=100, use_fused=True,
+                                   rho_boost_iters=rho_boost_iters)
     np.asarray(out["solution"])
     log(f"l2f: first solve (incl. compile): {time.time()-t0:.1f}s")
     # perturb a data input (NOT cfg -- static args recompile) to defeat
     # the remote-execution request cache
-    prob2 = prob._replace(b=prob.b * (1.0 + 1e-7))
+    rng = np.random.RandomState(13)
+    prob2 = prob._replace(b=prob.b * jnp.asarray(
+        1.0 + 1e-5 * rng.rand(*prob.b.shape).astype(np.float32)))
     t0 = time.time()
+    tm = {}
     _, out = l2f.l2f_solve_compact(prob2, model, variables, cfg, pcfg,
-                                   ws=100, use_fused=True)
+                                   ws=100, use_fused=True,
+                                   rho_boost_iters=rho_boost_iters,
+                                   timings=tm)
     np.asarray(out["solution"])        # host fetch = full sync
     wall = time.time() - t0
     objs = np.asarray(out["obj"])
     gap = (objs - plain_objs) / np.abs(plain_objs)
     fixed = np.asarray(out["n_fixed"])
     infeas = np.asarray(out["infeasible"])
-    log(f"l2f: wall={wall:.2f}s it={int(out['iterations'])} "
+    log(f"l2f(K={rho_boost_iters}): wall={wall:.2f}s "
+        f"it={int(out['iterations'])} "
         f"obj_gap mean={gap.mean():+.4f} max={gap.max():+.4f} "
         f"fixed={fixed.mean():.0f} vars/instance "
         f"infeas_instances={int((infeas > 0).sum())} "
-        f"throughput={BATCH / wall:.1f} instances/s")
+        f"throughput={BATCH / wall:.1f} instances/s "
+        f"timings={ {k: round(v, 3) for k, v in tm.items()} }")
+    return (BATCH / wall, float(gap.mean()), float(gap.max()),
+            int((infeas > 0).sum()))
 
 
 
@@ -282,18 +296,35 @@ def main():
                 lambda p: pallas_lp.solve_fused(p, cfg, window=100,
                                                 bt=bt),
                 prob, base)
+            # compiled-kernel regression check: converged objectives of
+            # the fused path must track the XLA path (trajectories are
+            # chaotic; objectives agree to the heuristic's spread)
+            par = np.abs(fobjs - objs) / np.abs(objs)
+            log(f"fused-vs-xla objective parity: mean={par.mean():.4f} "
+                f"max={par.max():.4f}"
+                + ("  [WARN: mean>5%]" if par.mean() > 0.05 else ""))
             break
         except Exception as e:
             log(f"pallas-fused(bt={bt}) failed: "
                 f"{type(e).__name__}: {str(e)[:200]}")
 
     best_ips = max(xla_ips, fused_ips)
-    bench_l2f(prob, objs)
+    l2f_res = bench_l2f(prob, objs)
+    # headline = best path meeting the quality bar: l2f counts when its
+    # mean obj gap vs the plain solve is <= 3% with no infeasibilities
+    # (the reference's whole point is l2f beating plain; VERDICT r1)
+    if l2f_res is not None:
+        l2f_ips, gap_mean, gap_max, infeas = l2f_res
+        if gap_mean <= 0.03 and infeas == 0:
+            best_ips = max(best_ips, l2f_ips)
+        else:
+            log(f"l2f excluded from headline (gap {gap_mean:+.4f}, "
+                f"infeas {infeas})")
 
     cpu_instances_per_s = 1.0 / base["mean_time_s"]
     vs = best_ips / cpu_instances_per_s
     print(json.dumps({
-        "metric": "ca500_plain_admm_instance_throughput",
+        "metric": "ca500_instance_throughput",
         "value": round(best_ips, 3),
         "unit": "instances/s",
         "vs_baseline": round(vs, 2),

@@ -316,9 +316,19 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                               and "Classifier_0" in params) else "model"
 
     t0 = _time.time()
-    state, max_free, max_rows = _policy_phase(
-        state, prob, variables, model, cfg, pcfg, ws, policy_windows,
-        fuse, scorer, max_iter, interpret)
+    try:
+        state, max_free, max_rows = _policy_phase(
+            state, prob, variables, model, cfg, pcfg, ws,
+            policy_windows, fuse, scorer, max_iter, interpret)
+    except Exception:
+        if scorer != "pallas":
+            raise
+        # Mosaic compile regression on this backend: fall back to the
+        # transposed XLA scorer (chunk mode) or plain model.apply
+        scorer = "fast" if pcfg.window_mode == "chunk" else "model"
+        state, max_free, max_rows = _policy_phase(
+            state, prob, variables, model, cfg, pcfg, ws,
+            policy_windows, fuse, scorer, max_iter, interpret)
     t0 = _mark("policy_s", t0)
 
     fixed_full = state.fixed_val
