@@ -129,19 +129,21 @@ def l2f_metrics(state: lp.LpState, prob: LpProblem,
                 labels: Optional[jnp.ndarray] = None) -> dict:
     """Evaluation metrics of the accelerated LP solve against the plain
     oracle: objective gap, infeasible rows, fix counts and fix errors
-    (trainer.py:431-453, 559-560)."""
-    obj = lp.objective(state)
+    (trainer.py:431-453, 559-560).  Objective/solution are
+    selection-reported (better of last rounding / feasible incumbent),
+    matching the oracle's reporting semantics."""
+    sol, obj, infeas = lp.select_solution(
+        prob, lp.solution(state), lp.solution_best(state))
     gap = (obj - oracle_obj) / jnp.abs(oracle_obj)
     fixed = (~state.free) & prob.var_mask
     out = {
         "obj": obj,
         "obj_gap": gap,
         "iterations": state.it,
-        "infeasible": lp.infeasible_rows(state, prob),
+        "infeasible": infeas,
         "n_fixed": jnp.sum(fixed, axis=-1),
     }
     if labels is not None:
-        sol = lp.solution(state)
         agree = (sol == labels) & prob.var_mask
         out["fix_errors"] = jnp.sum(fixed & (state.fixed_val != labels),
                                     axis=-1)

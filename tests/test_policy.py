@@ -128,8 +128,12 @@ def test_l2f_oracle_policy_accelerates(lp_setup):
     # everything fixed to the oracle labels => instantly done
     assert bool(jnp.all(state.done))
     obj = np.asarray(lp.objective(state))
-    gap = np.abs(obj - np.asarray(ds.oracle_obj)) / np.abs(ds.oracle_obj)
+    # expected: the labels' own objective (ds.oracle_obj may be a
+    # better feasible incumbent that fixing to labels can't recover)
+    expect = np.asarray(jnp.sum(prob.b * ds.labels, axis=-1))
+    gap = np.abs(obj - expect) / np.maximum(np.abs(expect), 1.0)
     np.testing.assert_array_less(gap, 1e-5)
+    assert np.all(np.asarray(ds.oracle_obj) <= expect + 1e-3)
     infeas = np.asarray(lp.infeasible_rows(state, prob))
     np.testing.assert_array_equal(infeas, 0)
 
