@@ -102,3 +102,27 @@ def test_solver_state_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x))
     np.testing.assert_allclose(np.asarray(lp.objective(a)),
                                np.asarray(lp.objective(b)))
+
+
+def test_phase_timer():
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from lpbox_admm_tpu.utils.profiling import PhaseTimer, perturb
+
+    with PhaseTimer() as t:
+        with t.phase("a"):
+            _t.sleep(0.01)
+            t.sync(jnp.ones((4,)))
+        with t.phase("a"):
+            _t.sleep(0.01)
+    assert t.counts["a"] == 2
+    assert t.totals["a"] >= 0.02
+    assert "a" in t.report() and "TOTAL" in t.report()
+
+    rng = np.random.RandomState(0)
+    x = jnp.ones((8, 8))
+    y = perturb(rng, x)
+    assert np.all(np.asarray(y) != np.asarray(x) * 0.999999999)
+    assert np.allclose(np.asarray(y), 1.0, atol=1e-4)
