@@ -22,7 +22,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 CACHE = os.path.join(ROOT, "bench_cache")
 
-RUNG_BATCH = {(100, 500): 128, (200, 1000): 64, (500, 2000): 64}
+#: the reference's s/m/l/xl instance ladder (commented psize table,
+#: LPboxADMMsolver.cpp:2461-2469: 100-500, 200-1000, 300-1500, 800-4000)
+RUNG_BATCH = {(100, 500): 128, (200, 1000): 64, (300, 1500): 64,
+              (500, 2000): 64, (800, 4000): 32}
 
 
 def get_instances(n_items, n_bids, batch):
@@ -74,7 +77,7 @@ def _enable_compile_cache():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rungs", default="200x1000,500x2000")
+    ap.add_argument("--rungs", default="200x1000,300x1500,800x4000")
     ap.add_argument("--skip-cpu", action="store_true")
     args = ap.parse_args()
     rungs = [tuple(int(v) for v in r.split("x"))
