@@ -39,17 +39,18 @@ _EPS = 2.2204e-16
 
 
 def auto_bt(B: int, m: int, n: int, extra_per_inst: int = 0,
-            budget: int = 10 * 1024 * 1024) -> int:
+            budget: int = 8 * 1024 * 1024) -> int:
     """Largest power-of-two instance block that (a) divides B and (b)
     keeps the per-grid-cell VMEM footprint under ``budget``.
 
-    Small (compacted) problems want large blocks: at (m, n) = (128, 128)
-    a bt=8 cell does only ~0.6 MFLOP per E-pass and launch overhead
-    dominates; bt=64 keeps the VPU busy.  Footprint per instance:
-    E (m n) + G^{-1} (m m) + ~8 n-vectors + ~6 m-vectors + extras
-    (e.g. a recorded trajectory window), all f32.
+    Small (compacted) problems want large blocks: a bt=8 cell at
+    (m, n) = (128, 128) does little work per E-pass and launch overhead
+    dominates.  Footprint per instance: E (m n) + G^{-1} (m m) + ~2
+    more (m n)-sized kernel temporaries (each ``E * v`` broadcast in
+    fwd/tps materialises one on the Mosaic stack; measured OOM at
+    18.4M/16M with the naive model) + vectors, all f32.
     """
-    per = 4 * (m * n + m * m + 8 * n + 6 * m + extra_per_inst)
+    per = 4 * (3 * m * n + m * m + 8 * n + 6 * m + extra_per_inst)
     bt = 1
     while bt * 2 <= B and B % (bt * 2) == 0 and per * bt * 2 <= budget:
         bt *= 2

@@ -46,6 +46,7 @@ class TrajectoryDataset(NamedTuple):
     var_mask: jnp.ndarray  # (B, n)
     oracle_obj: jnp.ndarray    # (B,) converged plain objective
     oracle_iters: jnp.ndarray  # () iterations the plain solve took
+    oracle_wall_s: float = 0.0  # wall time of the plain batch solve
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "record_iters"))
@@ -75,14 +76,19 @@ def build_dataset(prob: LpProblem, cfg: SolverConfig,
     ``oracle_obj`` is the plain solve's REPORTED objective -- the
     better of (last rounding, best feasible incumbent), matching what
     solve callers report via select_solution -- so l2f objective gaps
-    compare equal reporting semantics on both sides."""
+    compare equal reporting semantics on both sides.
+    ``oracle_wall_s`` times the plain batch solve, giving the
+    denominator of the reference's time-speedup (trainer.py:560)."""
+    t0 = time.perf_counter()
     state, traj = _record_then_converge(prob, cfg, record_iters)
+    jax.block_until_ready(state.x)
+    wall = time.perf_counter() - t0
     labels = lp.solution(state)
     _, oracle, _ = jax.jit(lp.select_solution)(
         prob, labels, lp.solution_best(state))
     return TrajectoryDataset(
         traj=traj, labels=labels, var_mask=prob.var_mask,
-        oracle_obj=oracle, oracle_iters=state.it)
+        oracle_obj=oracle, oracle_iters=state.it, oracle_wall_s=wall)
 
 
 def episode_batch(ds: TrajectoryDataset, pcfg: PolicyConfig, ws: int,
@@ -357,6 +363,12 @@ class PolicyTrainer:
         out["mean_obj_gap"] = float(np.mean(np.asarray(out["obj_gap"])))
         out["iter_speedup"] = float(ds.oracle_iters) / max(
             float(out["iterations"]), 1)
+        # the reference's headline speedup = plain time / l2f time
+        # (trainer.py:560); meaningful when ds was built in this process
+        # on the same backend
+        if float(ds.oracle_wall_s) > 0:
+            out["time_speedup"] = float(ds.oracle_wall_s) / max(wall,
+                                                               1e-9)
         return out
 
     # ---- checkpointing (reference trainer.py:599-643) -------------------

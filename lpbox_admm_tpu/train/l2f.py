@@ -358,13 +358,19 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
             state = state._replace(it=state.it + rho_boost_iters)
         if fuse:
             from ..ops.pallas_lp import auto_bt, solve_fused_from
-            # large window + in-kernel all-done early exit: stragglers
-            # iterate inside one launch, finished blocks cost only DMA
-            state = solve_fused_from(state, prob, cfg,
-                                     max_iters=max_iter,
-                                     window=max(ws, 1000),
-                                     bt=auto_bt(B, prob.m, prob.n),
-                                     interpret=interpret)
+            try:
+                # large window + in-kernel all-done early exit:
+                # stragglers iterate inside one launch, finished blocks
+                # cost only DMA
+                state = solve_fused_from(
+                    state, prob, cfg, max_iters=max_iter,
+                    window=max(ws, 1000),
+                    bt=auto_bt(B, prob.m, prob.n), interpret=interpret)
+            except Exception:
+                # e.g. Mosaic VMEM OOM at an unlucky compacted shape:
+                # the XLA residual is always available
+                state = _residual_phase_xla(state, prob, cfg, ws,
+                                            max_iter)
         else:
             state = _residual_phase_xla(state, prob, cfg, ws, max_iter)
         t0 = _mark("residual_s", t0)
