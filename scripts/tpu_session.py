@@ -1,0 +1,74 @@
+"""Run all TPU measurements in ONE long-lived process.
+
+The axon remote compile service intermittently takes minutes per
+executable; a single process reuses every jit cache entry across
+phases (and primes the persistent compilation cache for later runs).
+
+    python scripts/tpu_session.py [phase ...]
+    phases: measure ladder seg1e5 train_mha eval bench   (default: all)
+"""
+
+import os
+import runpy
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+
+
+def run(script, argv, tag):
+    print(f"\n======== {tag}: {script} {' '.join(argv)}", flush=True)
+    t0 = time.time()
+    old = sys.argv
+    sys.argv = [script] + argv
+    try:
+        runpy.run_path(os.path.join(ROOT, script), run_name="__main__")
+    except SystemExit as e:
+        if e.code not in (0, None):
+            print(f"{tag}: exited {e.code}", flush=True)
+    except Exception as e:
+        print(f"{tag} FAILED: {type(e).__name__}: {str(e)[:400]}",
+              flush=True)
+    finally:
+        sys.argv = old
+    print(f"======== {tag} done in {time.time()-t0:.0f}s", flush=True)
+
+
+def main():
+    phases = sys.argv[1:] or ["measure", "ladder", "seg1e5", "bench"]
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"devices={jax.devices()}", flush=True)
+
+    if "measure" in phases:
+        run("scripts/measure_l2f.py", ["--ks", "0,5000"], "measure_l2f")
+    if "ladder" in phases:
+        run("scripts/bench_ladder.py",
+            ["--rungs", "200x1000,300x1500,800x4000"], "ladder")
+    if "seg1e5" in phases:
+        run("experiments/run_seg.py",
+            ["-phase", "test", "-num_nodes", "100000",
+             "-image_list",
+             "2,3,11,14,16,17,21,24,25,33,34,39,45,46,56,57,59,63,64,"
+             "76,82,83,86,88",
+             "-checkpoint",
+             "checkpoints/seg_mha/checkpoint/best_checkpoint.npz",
+             "-result_dir", "result_seg1e5"], "seg1e5")
+    if "train_mha" in phases:
+        run("scripts/train_ca500_policy.py",
+            ["-net", "mha", "-n_train", "96", "-n_eval", "16",
+             "-epochs", "60", "-eval_every", "5", "-out",
+             "checkpoints_r2"], "train_mha")
+    if "eval" in phases:
+        run("scripts/eval_policy.py", ["-net", "mlp"], "eval_mlp")
+        run("scripts/eval_policy.py", ["-net", "mha"], "eval_mha")
+    if "bench" in phases:
+        run("bench.py", [], "bench")
+
+
+if __name__ == "__main__":
+    main()
