@@ -187,3 +187,30 @@ def test_woodbury_refuses_rho_cap():
     bad = LP_CONFIG.replace(linsolve="woodbury", rho_upper_limit=100.0)
     with _pytest.raises(ValueError, match="rho_upper_limit"):
         lp.init_state(prob, bad)
+
+
+def test_select_solution_prefers_feasible_incumbent():
+    """Selection logic: the incumbent wins when feasible and better, or
+    when the final rounding is infeasible; otherwise the last rounding
+    is kept (reference-parity fallback)."""
+    b = jnp.asarray([[-1.0, -1.0, -1.0]] * 3)
+    E = jnp.asarray([[[1.0, 1.0, 1.0]]] * 3)       # sum(x) <= 1
+    f = jnp.ones((3, 1))
+    prob = stack_lp_instances([np.asarray(bi) for bi in b],
+                              [np.asarray(Ei) for Ei in E],
+                              n_pad=3, m_pad=1)
+    prob = prob._replace(b=b, E=E, f=f)
+    # case 0: last feasible & better than best -> keep last
+    # case 1: last infeasible, best feasible -> take best
+    # case 2: both feasible, best better -> take best
+    sol_last = jnp.asarray([[1.0, 0, 0],
+                            [1.0, 1.0, 0],
+                            [0.0, 0, 0]])
+    sol_best = jnp.asarray([[0.0, 0, 0],
+                            [0.0, 1.0, 0],
+                            [1.0, 0, 0]])
+    sol, obj, infeas = lp.select_solution(prob, sol_last, sol_best)
+    np.testing.assert_allclose(np.asarray(sol),
+                               [[1, 0, 0], [0, 1, 0], [1, 0, 0]])
+    np.testing.assert_allclose(np.asarray(obj), [-1, -1, -1])
+    np.testing.assert_array_equal(np.asarray(infeas), 0)
