@@ -163,6 +163,12 @@ class PolicyConfig:
     node_size: int = 20              # tokens per variable (20 LP / 5 Seg / 10 SA)
     window_mode: str = "chunk"       # "chunk" (LP/SA reshape) | "sliding" (Seg)
     fix_confidence: float = 0.9      # C: fix to 1 if sigma>C, to 0 if sigma<1-C
+    # require the policy to clear the confidence bar in this many
+    # CONSECUTIVE windows (same direction) before fixing.  1 =
+    # reference behaviour (deter_fix_2 fixes immediately); 2 trades a
+    # little fixing delay for fewer locked-in wrong fixes (the source
+    # of the objective-gap tail, STATUS r2).
+    fix_windows: int = 1
     lr: float = 1e-4
     lr_decay_step: int = 2000
     lr_decay_factor: float = 0.5

@@ -199,11 +199,11 @@ def _policy_phase(state, prob, variables, model, cfg, pcfg, ws,
         return policy_scores(model, variables, rows, pcfg)
 
     def cond(c):
-        s, w = c
+        s, w, _, _ = c
         return (w < policy_windows) & ~jnp.all(s.done) & (s.it < max_iter)
 
     def body(c):
-        s, w = c
+        s, w, streak1, streak0 = c
         if fuse:
             # record in two half-windows: the (bt, ws, n) trajectory
             # buffer would not fit VMEM alongside E and G^{-1}
@@ -217,11 +217,19 @@ def _policy_phase(state, prob, variables, model, cfg, pcfg, ws,
             s, traj = lp.solve_window(s, prob, cfg, ws, record=True)
         rows = traj.reshape(-1, ws)
         sig = score_rows(rows)
-        vec = scores_to_vec(sig, pcfg.fix_confidence)
-        s = lp.apply_fix(s, prob, vec.reshape(s.x.shape), cfg)
-        return s, w + 1
+        conf1 = (sig > pcfg.fix_confidence).reshape(s.x.shape)
+        conf0 = (sig < 1.0 - pcfg.fix_confidence).reshape(s.x.shape)
+        streak1 = jnp.where(conf1, streak1 + 1, 0)
+        streak0 = jnp.where(conf0, streak0 + 1, 0)
+        k = pcfg.fix_windows
+        vec = jnp.where(streak1 >= k, 1.0,
+                        jnp.where(streak0 >= k, 0.0, -1.0))
+        s = lp.apply_fix(s, prob, vec, cfg)
+        return s, w + 1, streak1, streak0
 
-    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    zeros_i = jnp.zeros(state.x.shape, jnp.int32)
+    state, _, _, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), zeros_i, zeros_i))
     support = jnp.any((jnp.abs(prob.E) > 0) & state.free[:, None, :],
                       axis=-1) & prob.row_mask
     return state, jnp.max(jnp.sum(state.free, axis=-1)), \
