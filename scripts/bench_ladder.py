@@ -79,6 +79,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rungs", default="200x1000,300x1500,800x4000")
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument("--solvers", default="woodbury,fused",
+                    help="comma list of woodbury,cg,fused.  cg is "
+                         "excluded by default on TPU: the batched-CG "
+                         "while_loop at (64,512,1024) crashed the TPU "
+                         "worker process (2026-08-17); it remains "
+                         "CPU-validated (tests)")
     args = ap.parse_args()
     rungs = [tuple(int(v) for v in r.split("x"))
              for r in args.rungs.split(",")]
@@ -114,14 +120,19 @@ def main():
 
         rung_res = {"B": B, "m": m, "n": n,
                     "cpu_oracle": oracle}
-        runs = [("xla-woodbury",
-                 lambda p: lp.solve(p, LP_CONFIG.replace(
-                     linsolve="woodbury"), window=100)),
-                ("xla-cg",
-                 lambda p: lp.solve(p, LP_CONFIG.replace(
-                     linsolve="cg"), window=100))]
+        solvers = args.solvers.split(",")
+        runs = []
+        if "woodbury" in solvers:
+            runs.append(("xla-woodbury",
+                         lambda p: lp.solve(p, LP_CONFIG.replace(
+                             linsolve="woodbury"), window=100)))
+        if "cg" in solvers:
+            runs.append(("xla-cg",
+                         lambda p: lp.solve(p, LP_CONFIG.replace(
+                             linsolve="cg"), window=100)))
         bt = pallas_lp.auto_bt(B, m, n)
-        if 4 * (m * n + m * m + 8 * n + 6 * m) <= 12 * 1024 * 1024:
+        if "fused" in solvers and 4 * (3 * m * n + m * m) * bt \
+                <= 8 * 1024 * 1024:
             runs.append((f"pallas-fused(bt={bt})",
                          lambda p: pallas_lp.solve_fused(
                              p, LP_CONFIG.replace(linsolve="woodbury"),
