@@ -197,7 +197,7 @@ def jax_block(tree):
 
 
 def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
-              fix_confidence=0.98, max_iter=12000):
+              fix_confidence=0.98, fix_windows=2, max_iter=12000):
     """Learned-early-fixing benchmark using the trained CA-500 MHA
     checkpoint (scripts/train_ca500_policy.py), if present.
 
@@ -220,7 +220,8 @@ def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
     from lpbox_admm_tpu.train.imitation import PolicyTrainer
 
     cfg = LP_CONFIG.replace(linsolve="woodbury")
-    pcfg = PolicyConfig(net="mha", fix_confidence=fix_confidence)
+    pcfg = PolicyConfig(net="mha", fix_confidence=fix_confidence,
+                        fix_windows=fix_windows)
     model = build_policy("mha")
     trainer = PolicyTrainer(model, pcfg, cfg, ws=100)
     ts = trainer.load(ckpt)
