@@ -208,7 +208,11 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
         # long before the last), so done blocks stop paying for the
         # window.  Not used with record=True, where callers expect the
         # full (bt, window, n) trajectory buffer to be written.
+        # The body is unrolled 2x per trip: per-trip loop overhead is a
+        # real cost at small (compacted) shapes, and an extra masked
+        # iteration after all-done is a mathematical no-op.
         bt = free_f.shape[0]
+        assert window % 2 == 0, window
 
         def wcond(c):
             t, st = c
@@ -216,7 +220,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
 
         def wbody(c):
             t, st = c
-            return t + 1, body(t, st)
+            return t + 2, body(t + 1, body(t, st))
 
         _, carry = jax.lax.while_loop(wcond, wbody,
                                       (jnp.int32(0), carry))
