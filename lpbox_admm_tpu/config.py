@@ -65,6 +65,13 @@ class SolverConfig:
     # iteration; callers pick between last and incumbent with
     # ``select_solution``.
     feasible_incumbent: bool = True
+    # Check/update the incumbent only every this-many iterations.  The
+    # feasibility check is a full extra pass over E; the rounded
+    # objective moves on the rho-schedule timescale (hundreds of
+    # iterations), so sampling the incumbent every few iterations loses
+    # essentially nothing while removing most of the incumbent's cost.
+    # 1 = reference-parity (check every iteration).
+    incumbent_stride: int = 1
 
     # Numerics
     dtype: str = "float32"

@@ -263,6 +263,11 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
 
     # --- incumbent (skipped on the break iteration, :1001-1011) ----------
     track = active & ~newly_done
+    if cfg.incumbent_stride > 1:
+        # sample the incumbent every incumbent_stride iterations (cfg
+        # docstring); scalar gate so both the XLA and the fused Pallas
+        # paths agree bit-for-bit
+        track = track & jnp.equal(jnp.mod(it, cfg.incumbent_stride), 0)
     cur_idx = free_f * (x >= 0.5).astype(dt)
     obj_bin = jnp.sum(prob.b * cur_idx, axis=-1)
     cur_obj = jnp.where(track, obj_bin, state.cur_obj)

@@ -39,21 +39,30 @@ _EPS = 2.2204e-16
 
 
 def auto_bt(B: int, m: int, n: int, extra_per_inst: int = 0,
-            budget: int = 8 * 1024 * 1024) -> int:
+            budget: int = 8 * 1024 * 1024, nside: bool = False) -> int:
     """Largest power-of-two instance block that (a) divides B and (b)
     keeps the per-grid-cell VMEM footprint under ``budget``.
 
     Small (compacted) problems want large blocks: a bt=8 cell at
     (m, n) = (128, 128) does little work per E-pass and launch overhead
-    dominates.  Footprint per instance: E (m n) + G^{-1} (m m) + ~2
-    more (m n)-sized kernel temporaries (each ``E * v`` broadcast in
-    fwd/tps materialises one on the Mosaic stack; measured OOM at
-    18.4M/16M with the naive model) + vectors, all f32.
+    dominates.  Footprint per instance: E (m n) + G^{-1} (m m) (or
+    H^{-1} + EtE, 2 n^2, in nside mode) + ~2 more (m n)-sized kernel
+    temporaries (each ``E * v`` broadcast in fwd/tps materialises one
+    on the Mosaic stack; measured OOM at 18.4M/16M with the naive
+    model) + vectors, all f32.
+
+    Returns 0 when no VALID block size fits: Mosaic requires the
+    sublane dim of a (bt, n) block to be a multiple of 8 (or the full
+    batch), so bt < 8 < B is not lowerable -- callers must fall back
+    to the XLA path.
     """
-    per = 4 * (3 * m * n + m * m + 8 * n + 6 * m + extra_per_inst)
+    mats = 2 * n * n if nside else m * m
+    per = 4 * (3 * m * n + mats + 8 * n + 6 * m + extra_per_inst)
     bt = 1
     while bt * 2 <= B and B % (bt * 2) == 0 and per * bt * 2 <= budget:
         bt *= 2
+    if bt < 8 and bt < B:
+        return 0
     return bt
 
 
@@ -61,15 +70,21 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                    x_ref, z1_ref, z2_ref, z4_ref, feff_ref, free_ref,
                    ring_ref, count_ref, done_ref, curobj_ref,
                    bestobj_ref, bestsol_ref, it_ref,
-                   # outputs (aliased state + extras)
-                   x_out, z1_out, z2_out, z4_out, ring_out, count_out,
-                   done_out, curobj_out, bestobj_out, bestsol_out,
-                   y1_out, y2_out, y3_out, ex_out,
-                   *maybe_traj, cfg: SolverConfig, window: int,
-                   skip_cvg_at, record: bool = False):
-    traj_out = maybe_traj[0] if record else None
+                   *rest, cfg: SolverConfig, window: int,
+                   skip_cvg_at, record: bool = False,
+                   nside: bool = False):
+    # remaining refs: [ete (nside only)] + outputs + [traj (record only)]
+    k = 0
+    if nside:
+        ete_ref = rest[0]
+        k = 1
+    (x_out, z1_out, z2_out, z4_out, ring_out, count_out,
+     done_out, curobj_out, bestobj_out, bestsol_out,
+     y1_out, y2_out, y3_out, ex_out) = rest[k:k + 14]
+    traj_out = rest[k + 14] if record else None
     E = E_ref[...]
-    ginv = ginv_ref[...]
+    ginv = ginv_ref[...]     # G^{-1} (m, m), or H^{-1} (n, n) when nside
+    ete = ete_ref[...] if nside else None
     b = b_ref[...]
     free = free_ref[...] > 0.5          # stored as f32 mask
     free_f = free_ref[...]
@@ -89,7 +104,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
         return jnp.sum(E * w[:, :, None], axis=1)
 
     def body(t, carry):
-        (x, z1, z2, z4, ring, count, done, cur_obj, best_obj, best_sol,
+        (x, z1, z2, z4, ring, count, done,
          y1c, y2c, y3c, exc) = carry
         # count/done/cur_obj are carried as (bt, 1) -- TPU Pallas
         # requires rank-2 blocks; squeeze views for row-wise logic
@@ -119,16 +134,24 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
         y2 = jnp.where(free, y2, x)
         y3 = jnp.maximum(f_eff - exc - z4 / rho4, 0.0)
 
-        # --- rhs + Woodbury exact solve -------------------------------
+        # --- rhs + exact solve ----------------------------------------
         et_term = tps(rho4 * (f_eff - y3) - z4)
         rhs = free_f * (rho1 * y1 + rho2 * y2 - (b + z1 + z2) + et_term)
         x0 = free_f * y1
-        Erhs = fwd(rhs)
-        Ex0 = fwd(x0)
-        u = jnp.sum(ginv * Erhs[:, None, :], axis=-1)
-        EtU = tps(u)
-        EtEx0 = tps(Ex0)
-        x_exact = free_f * (rhs - EtU) / c
+        if nside:
+            # direct n-side inverse (ops/woodbury.factorize_nside):
+            # (c I + rho4 EtE)^{-1} rhs = H^{-1} rhs / rho4 -- one
+            # (n, n) pass replaces fwd + (m, m) pass + two tps passes
+            x_exact = free_f * jnp.sum(
+                ginv * rhs[:, None, :], axis=-1) / rho4
+            EtEx0 = jnp.sum(ete * x0[:, None, :], axis=-1)
+        else:
+            Erhs = fwd(rhs)
+            Ex0 = fwd(x0)
+            u = jnp.sum(ginv * Erhs[:, None, :], axis=-1)
+            EtU = tps(u)
+            EtEx0 = tps(Ex0)
+            x_exact = free_f * (rhs - EtU) / c
         # PCG warm-start early exit (reference :204-209 semantics)
         Mx0 = free_f * (c * x0 + rho4 * EtEx0)
         r0 = rhs - Mx0
@@ -170,18 +193,31 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
         std_stop = push & (rel <= cfg.std_threshold)
         newly_done = active & (cvg | std_stop)
 
-        track = active & ~newly_done
-        rounded = free_f * (x_new >= 0.5).astype(x.dtype)
-        obj_bin = jnp.sum(b * rounded, axis=-1)
-        cur_obj_n = jnp.where(track, obj_bin, cur_obj[:, 0])
-        # incumbent (best rounding seen), matching core/lp.step
-        better = track & (best_obj[:, 0] >= obj_bin)
-        if cfg.feasible_incumbent:
-            exr = fwd(rounded)
-            feas = jnp.all((exr <= f_eff + 1e-6) | ~rmask, axis=-1)
-            better = better & feas
-        best_obj_n = jnp.where(better, obj_bin, best_obj[:, 0])
-        best_sol_n = jnp.where(better[:, None], x_new, best_sol)
+        # incumbent (best rounding seen), matching core/lp.step; updated
+        # in-place in the output refs so the (strided) feasibility pass
+        # over E is genuinely skipped on non-sample iterations
+        def update_incumbent():
+            track = active & ~newly_done
+            rounded = free_f * (x_new >= 0.5).astype(x.dtype)
+            obj_bin = jnp.sum(b * rounded, axis=-1)
+            cur_prev = curobj_out[...][:, 0]
+            best_prev = bestobj_out[...][:, 0]
+            curobj_out[...] = jnp.where(track, obj_bin, cur_prev)[:, None]
+            better = track & (best_prev >= obj_bin)
+            if cfg.feasible_incumbent:
+                exr = fwd(rounded)
+                feas = jnp.all((exr <= f_eff + 1e-6) | ~rmask, axis=-1)
+                better = better & feas
+            bestobj_out[...] = jnp.where(better, obj_bin,
+                                         best_prev)[:, None]
+            bestsol_out[...] = jnp.where(better[:, None], x_new,
+                                         bestsol_out[...])
+
+        if cfg.incumbent_stride > 1:
+            pl.when(jnp.equal(
+                jnp.mod(it, cfg.incumbent_stride), 0))(update_incumbent)
+        else:
+            update_incumbent()
 
         if record:
             traj_out[:, pl.ds(t, 1), :] = x_new[:, None, :]
@@ -191,14 +227,16 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                 jnp.where(act, z4n, z4),
                 ring_n, count_n[:, None],
                 done_n[:, None].astype(jnp.float32),
-                cur_obj_n[:, None], best_obj_n[:, None], best_sol_n,
                 upd(y1, y1c), upd(y2, y2c), jnp.where(act, y3, y3c),
                 ex_new)
 
     ex0 = fwd(free_f * x_ref[...])
+    # incumbents live in the output refs (updated in-place by the loop)
+    curobj_out[...] = curobj_ref[...]
+    bestobj_out[...] = bestobj_ref[...]
+    bestsol_out[...] = bestsol_ref[...]
     carry = (x_ref[...], z1_ref[...], z2_ref[...], z4_ref[...],
              ring_ref[...], count_ref[...], done_ref[...],
-             curobj_ref[...], bestobj_ref[...], bestsol_ref[...],
              x_ref[...], x_ref[...], feff_ref[...], ex0)
     if record:
         carry = jax.lax.fori_loop(0, window, body, carry)
@@ -224,7 +262,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
 
         _, carry = jax.lax.while_loop(wcond, wbody,
                                       (jnp.int32(0), carry))
-    (x, z1, z2, z4, ring, count, done, cur_obj, best_obj, best_sol,
+    (x, z1, z2, z4, ring, count, done,
      y1, y2, y3, ex) = carry
     x_out[...] = x
     z1_out[...] = z1
@@ -233,9 +271,6 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
     ring_out[...] = ring
     count_out[...] = count
     done_out[...] = done
-    curobj_out[...] = cur_obj
-    bestobj_out[...] = best_obj
-    bestsol_out[...] = best_sol
     y1_out[...] = y1
     y2_out[...] = y2
     y3_out[...] = y3
@@ -247,19 +282,26 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                                              "record"))
 def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
                     bt: int = 8, skip_cvg_at: Optional[int] = None,
-                    interpret: Optional[bool] = None, record: bool = False):
+                    interpret: Optional[bool] = None, record: bool = False,
+                    nfactor=None):
     """Run ``window`` woodbury-mode ADMM iterations via the fused kernel.
 
     Drop-in faster equivalent of ``core.lp.solve_window`` for the
     solver hot path.  With ``record=True`` additionally returns the
     (B, n, window) iterate trajectory for the policy (written from
     VMEM per iteration).  Requires ``cfg.linsolve == 'woodbury'``.
+
+    ``nfactor``: optional ``(hinv, ete)`` pair from
+    ``ops.woodbury.factorize_nside`` -- switches the x-update to the
+    direct n-side solve (right side when n <= m, e.g. the compacted
+    l2f residual problem); ``state.ginv`` is then unused.
     """
     assert cfg.linsolve == "woodbury"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, m, n = prob.E.shape
     assert B % bt == 0, (B, bt)
+    nside = nfactor is not None
     grid = (B // bt,)
 
     def bs(shape_tail):
@@ -270,7 +312,8 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
 
     H = cfg.history_size
     kernel = functools.partial(_window_kernel, cfg=cfg, window=window,
-                               skip_cvg_at=skip_cvg_at, record=record)
+                               skip_cvg_at=skip_cvg_at, record=record,
+                               nside=nside)
     free_f = state.free.astype(jnp.float32)
     done_f = state.done.astype(jnp.float32)
 
@@ -295,7 +338,7 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
             jax.ShapeDtypeStruct((B, window, n), jnp.float32))
     in_specs = [
         bs((m, n)),   # E
-        bs((m, m)),   # ginv
+        bs((n, n)) if nside else bs((m, m)),   # hinv / ginv
         bs((n,)),     # b
         bs((n,)),     # vmask
         bs((m,)),     # rmask
@@ -313,6 +356,17 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         bs((n,)),     # best_sol
         pl.BlockSpec(memory_space=pltpu.SMEM),  # it (scalar)
     ]
+    operands = [
+        prob.E, nfactor[0] if nside else state.ginv, prob.b,
+        prob.var_mask.astype(jnp.float32),
+        prob.row_mask.astype(jnp.float32),
+        state.x, state.z1, state.z2, state.z4, state.f_eff, free_f,
+        state.obj_ring, state.obj_count[:, None], done_f[:, None],
+        state.cur_obj[:, None], state.best_bin_obj[:, None],
+        state.best_sol, jnp.array([state.it], jnp.int32)]
+    if nside:
+        in_specs.append(bs((n, n)))             # ete
+        operands.append(nfactor[1])
     out_specs = [bs(x.shape[1:]) for x in out_shapes]
 
     outs = pl.pallas_call(
@@ -322,12 +376,7 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prob.E, state.ginv, prob.b, prob.var_mask.astype(jnp.float32),
-      prob.row_mask.astype(jnp.float32),
-      state.x, state.z1, state.z2, state.z4, state.f_eff, free_f,
-      state.obj_ring, state.obj_count[:, None], done_f[:, None],
-      state.cur_obj[:, None], state.best_bin_obj[:, None],
-      state.best_sol, jnp.array([state.it], jnp.int32))
+    )(*operands)
 
     (x, z1, z2, z4, ring, count, done, cur_obj, best_obj, best_sol,
      y1, y2, y3, ex) = outs[:14]
@@ -371,9 +420,12 @@ def solve_fused(prob, cfg: SolverConfig, max_iters: Optional[int] = None,
                                              "bt", "interpret"))
 def solve_fused_from(state, prob, cfg: SolverConfig,
                      max_iters: Optional[int] = None, window: int = 100,
-                     bt: int = 8, interpret: Optional[bool] = None):
+                     bt: int = 8, interpret: Optional[bool] = None,
+                     nfactor=None):
     """Continue an existing solve to convergence with the fused kernel
-    (used after l2f compaction for the residual problem)."""
+    (used after l2f compaction for the residual problem).  Pass
+    ``nfactor`` from ``woodbury.factorize_nside`` to use the direct
+    n-side x-update (the right side once compaction makes n <= m)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if max_iters is None:
@@ -384,6 +436,6 @@ def solve_fused_from(state, prob, cfg: SolverConfig,
 
     def body(s):
         return lp_window_fused(s, prob, cfg, window, bt=bt,
-                               interpret=interpret)
+                               interpret=interpret, nfactor=nfactor)
 
     return jax.lax.while_loop(cond, body, state)

@@ -58,6 +58,37 @@ def factorize(E: jnp.ndarray, free: jnp.ndarray, ratio: float) -> WoodburyFactor
                           eet=G - ratio * jnp.eye(m, dtype=G.dtype))
 
 
+class NsideFactor(NamedTuple):
+    """Direct n-side inverse of the x-update system (see factorize_nside)."""
+    hinv: jnp.ndarray   # (B, n, n) (ratio I + E_f^T E_f)^{-1}
+    ete: jnp.ndarray    # (B, n, n) E_f^T E_f (for the warm-start residual)
+    ratio: float
+
+
+def factorize_nside(E: jnp.ndarray, free: jnp.ndarray,
+                    ratio: float) -> NsideFactor:
+    """Direct inverse of ``(c I + rho4 E_f^T E_f)`` on the n side.
+
+    After l2f compaction the residual problem has n <= m, so the
+    Woodbury detour through the (m, m) Gram matrix is the WRONG side:
+    ``(c I + rho4 EtE)^{-1} = (1/rho4) (ratio I + EtE)^{-1}`` with
+    ``ratio = c/rho4`` constant under the shared LP rho schedule, so a
+    single (n, n) inverse serves the whole solve.  The x-update becomes
+    ONE (n, n) pass instead of fwd + (m, m) pass + transpose-pass.
+    Fixed (zeroed) columns decouple: their EtE rows/cols are zero, the
+    diagonal is ``ratio``, and the solver masks x by ``free`` anyway.
+    """
+    Ef = E * free[:, None, :].astype(E.dtype)
+    EtE = jnp.einsum("bmn,bmk->bnk", Ef, Ef,
+                     preferred_element_type=jnp.float32, precision=HI)
+    n = EtE.shape[-1]
+    H = EtE + ratio * jnp.eye(n, dtype=EtE.dtype)
+    chol = jnp.linalg.cholesky(H)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=H.dtype), H.shape)
+    hinv = jax.scipy.linalg.cho_solve((chol, True), eye)
+    return NsideFactor(hinv=hinv, ete=EtE, ratio=ratio)
+
+
 def solve(factor: WoodburyFactor, E: jnp.ndarray, free: jnp.ndarray,
           rhs: jnp.ndarray, c: jnp.ndarray,
           precision=HI) -> jnp.ndarray:

@@ -253,6 +253,12 @@ def _compact_jit(state, prob, cfg, n_new, m_new):
     return lp.compact(state, prob, cfg, n_new, m_new=m_new)
 
 
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _nside_factor_jit(E, free, ratio):
+    from ..ops import woodbury as _wb
+    return _wb.factorize_nside(E, free, ratio)
+
+
 @jax.jit
 def _finalize(state, idx_map, fixed_full, free_full, orig_prob):
     """Scatter the last rounding AND the best feasible incumbent back to
@@ -365,15 +371,27 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
             # semantics); quality/speed trade-off measured in STATUS.md.
             state = state._replace(it=state.it + rho_boost_iters)
         if fuse:
+            from ..ops import woodbury as _wb
             from ..ops.pallas_lp import auto_bt, solve_fused_from
+            # compaction leaves n <= m, where the direct n-side
+            # x-update beats the Woodbury detour (factorize_nside)
+            nside = prob.n <= prob.m
+            nfactor = None
+            if nside:
+                nf = _nside_factor_jit(prob.E, state.free,
+                                       lp._wb_ratio(cfg))
+                nfactor = (nf.hinv, nf.ete)
+            bt = auto_bt(B, prob.m, prob.n, nside=nside)
             try:
+                if bt == 0:
+                    raise ValueError("no valid fused block size")
                 # large window + in-kernel all-done early exit:
                 # stragglers iterate inside one launch, finished blocks
                 # cost only DMA
                 state = solve_fused_from(
                     state, prob, cfg, max_iters=max_iter,
                     window=max(ws, 1000),
-                    bt=auto_bt(B, prob.m, prob.n), interpret=interpret)
+                    bt=bt, interpret=interpret, nfactor=nfactor)
             except Exception:
                 # e.g. Mosaic VMEM OOM at an unlucky compacted shape:
                 # the XLA residual is always available

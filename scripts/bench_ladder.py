@@ -78,6 +78,8 @@ def _enable_compile_cache():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rungs", default="200x1000,300x1500,800x4000")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the per-rung batch size")
     ap.add_argument("--skip-cpu", action="store_true")
     ap.add_argument("--solvers", default="woodbury,fused",
                     help="comma list of woodbury,cg,fused.  cg is "
@@ -100,8 +102,12 @@ def main():
     print(f"devices={jax.devices()}", flush=True)
     rngp = np.random.RandomState(11)
     results = {}
+    out_path = os.path.join(CACHE, "ladder.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
     for n_items, n_bids in rungs:
-        B = RUNG_BATCH.get((n_items, n_bids), 64)
+        B = args.batch or RUNG_BATCH.get((n_items, n_bids), 64)
         insts = get_instances(n_items, n_bids, B)
         prob = ca.make_problem(insts)
         m, n = prob.m, prob.n
@@ -131,12 +137,15 @@ def main():
                          lambda p: lp.solve(p, LP_CONFIG.replace(
                              linsolve="cg"), window=100)))
         bt = pallas_lp.auto_bt(B, m, n)
-        if "fused" in solvers and 4 * (3 * m * n + m * m) * bt \
-                <= 8 * 1024 * 1024:
+        if "fused" in solvers and bt > 0:
             runs.append((f"pallas-fused(bt={bt})",
                          lambda p: pallas_lp.solve_fused(
                              p, LP_CONFIG.replace(linsolve="woodbury"),
                              window=100, bt=bt)))
+        elif "fused" in solvers:
+            print("pallas-fused: no valid VMEM-resident block size at "
+                  f"({m},{n}); skipped (needs the HBM-streamed variant)",
+                  flush=True)
         for name, fn in runs:
             try:
                 t0 = time.time()
@@ -171,11 +180,13 @@ def main():
                 print(f"{name} FAILED: {type(e).__name__}: "
                       f"{str(e)[:300]}", flush=True)
                 rung_res[name] = {"error": str(e)[:300]}
-        results[f"{n_items}x{n_bids}"] = rung_res
-
-    out_path = os.path.join(CACHE, "ladder.json")
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        # merge into existing results (don't clobber other rungs; keep
+        # prior solver lines not re-run this invocation)
+        prev = results.get(f"{n_items}x{n_bids}", {})
+        prev.update(rung_res)
+        results[f"{n_items}x{n_bids}"] = prev
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
 
 

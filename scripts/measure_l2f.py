@@ -40,12 +40,19 @@ def _enable_compile_cache():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ks", default="0,2000,5000,10000")
+    ap.add_argument("--ks", default="5000")
+    ap.add_argument("--caps", default="10000")
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--policy-windows", type=int, default=5)
+    ap.add_argument("--policy-windows", type=int, default=3)
+    ap.add_argument("--conf", type=float, default=0.98)
+    ap.add_argument("--fix-windows", type=int, default=2)
+    ap.add_argument("--stride", type=int, default=8,
+                    help="incumbent_stride for the quality configs")
     ap.add_argument("--skip-plain", action="store_true")
+    ap.add_argument("--skip-scorer", action="store_true")
     args = ap.parse_args()
     ks = [int(k) for k in args.ks.split(",")]
+    caps = [int(c) for c in args.caps.split(",")]
 
     _enable_compile_cache()
     from bench import get_instances
@@ -77,8 +84,10 @@ def main():
     # ---- plain fused -----------------------------------------------------
     plain_objs = None
     if not args.skip_plain:
-        for feas_inc in (True, False):
-            c = cfg.replace(feasible_incumbent=feas_inc)
+        for feas_inc, stride in ((True, 1), (True, args.stride),
+                                 (False, 1)):
+            c = cfg.replace(feasible_incumbent=feas_inc,
+                            incumbent_stride=stride)
             t0 = time.time()
             st = pallas_lp.solve_fused(perturbed(), c, window=100, bt=8)
             np.asarray(st.x)            # host fetch = real sync (axon
@@ -92,21 +101,23 @@ def main():
                 p2, lp.solution(st), lp.solution_best(st))
             objs = np.asarray(objs)
             lastobjs = np.asarray(lp.objective(st))
-            if feas_inc:
+            if feas_inc and (stride == args.stride or plain_objs is None):
                 plain_objs = objs
-            print(f"plain fused feas_inc={feas_inc}: wall={wall:.2f}s "
+            print(f"plain fused feas_inc={feas_inc} stride={stride}: "
+                  f"wall={wall:.2f}s "
                   f"({B/wall:.1f} inst/s) it={int(st.it)} "
                   f"compile+1st={compile_s:.1f}s "
                   f"mean_obj={objs.mean():.1f} last={lastobjs.mean():.1f} "
                   f"infeas={int((np.asarray(infeas)>0).sum())}", flush=True)
-            results[f"plain_feas{int(feas_inc)}"] = {
+            results[f"plain_feas{int(feas_inc)}_s{stride}"] = {
                 "wall_s": wall, "inst_per_s": B / wall,
                 "mean_obj": float(objs.mean())}
 
     # ---- l2f sweep -------------------------------------------------------
     ckpt = os.path.join(ROOT, "checkpoints", "ca500_mha", "checkpoint",
                         "best_checkpoint.npz")
-    pcfg = PolicyConfig(net="mha")
+    pcfg = PolicyConfig(net="mha", fix_confidence=args.conf,
+                        fix_windows=args.fix_windows)
     model = build_policy("mha")
     trainer = PolicyTrainer(model, pcfg, cfg, ws=100)
     ts = trainer.load(ckpt)
@@ -124,10 +135,10 @@ def main():
     from lpbox_admm_tpu.models.pallas_policy import policy_scores_pallas
     R = 65536
     rows_np = np.random.RandomState(1).rand(R, 100).astype(np.float32)
-    for name, fn in [
+    for name, fn in ([] if args.skip_scorer else [
             ("fast", lambda r: fast_policy_scores(variables, r, pcfg)),
             ("pallas", lambda r: policy_scores_pallas(variables, r,
-                                                      pcfg))]:
+                                                      pcfg))]):
         try:
             np.asarray(fn(jnp.asarray(rows_np)))       # compile
             rp = jnp.asarray(
@@ -143,35 +154,40 @@ def main():
             print(f"scorer {name} failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
 
+    lcfg = cfg.replace(incumbent_stride=args.stride)
     for K in ks:
-        # warm-up/compile run, then timed run on perturbed data
-        for timed in (False, True):
-            tm = {}
-            p2 = perturbed()
-            t0 = time.time()
-            st, out = l2f.l2f_solve_compact(
-                p2, model, variables, cfg, pcfg, ws=100,
-                policy_windows=args.policy_windows, use_fused=True,
-                rho_boost_iters=K, timings=tm)
-            np.asarray(out["solution"])
-            wall = time.time() - t0
-            if not timed:
-                print(f"l2f K={K}: compile+1st={wall:.1f}s", flush=True)
-                continue
-            objs = np.asarray(out["obj"])
-            gap = (objs - plain_objs) / np.abs(plain_objs)
-            infeas = np.asarray(out["infeasible"])
-            print(f"l2f K={K}: wall={wall:.2f}s ({B/wall:.1f} inst/s) "
-                  f"it={int(out['iterations'])} "
-                  f"gap mean={gap.mean():+.4f} max={gap.max():+.4f} "
-                  f"fixed={np.asarray(out['n_fixed']).mean():.0f} "
-                  f"infeas={int((infeas>0).sum())} timings="
-                  + json.dumps({k: round(v, 3) for k, v in tm.items()}),
-                  flush=True)
-            results[f"l2f_K{K}"] = {
-                "wall_s": wall, "inst_per_s": B / wall,
-                "gap_mean": float(gap.mean()), "gap_max": float(gap.max()),
-                "timings": tm}
+        for cap in caps:
+            # warm-up/compile run, then timed run on perturbed data
+            for timed in (False, True):
+                tm = {}
+                p2 = perturbed()
+                t0 = time.time()
+                st, out = l2f.l2f_solve_compact(
+                    p2, model, variables, lcfg, pcfg, ws=100,
+                    policy_windows=args.policy_windows, use_fused=True,
+                    rho_boost_iters=K, max_iter=cap, timings=tm)
+                np.asarray(out["solution"])
+                wall = time.time() - t0
+                if not timed:
+                    print(f"l2f K={K} cap={cap}: compile+1st={wall:.1f}s",
+                          flush=True)
+                    continue
+                objs = np.asarray(out["obj"])
+                gap = (objs - plain_objs) / np.abs(plain_objs)
+                infeas = np.asarray(out["infeasible"])
+                print(f"l2f K={K} cap={cap}: wall={wall:.2f}s "
+                      f"({B/wall:.1f} inst/s) "
+                      f"it={int(out['iterations'])} "
+                      f"gap mean={gap.mean():+.4f} max={gap.max():+.4f} "
+                      f"fixed={np.asarray(out['n_fixed']).mean():.0f} "
+                      f"infeas={int((infeas>0).sum())} timings="
+                      + json.dumps({k: round(v, 3)
+                                    for k, v in tm.items()}),
+                      flush=True)
+                results[f"l2f_K{K}_cap{cap}"] = {
+                    "wall_s": wall, "inst_per_s": B / wall,
+                    "gap_mean": float(gap.mean()),
+                    "gap_max": float(gap.max()), "timings": tm}
 
     print(json.dumps(results, indent=1))
 

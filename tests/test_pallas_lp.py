@@ -67,6 +67,100 @@ def test_fused_respects_done_freezing(prob):
                                np.asarray(state.cur_obj), atol=1e-5)
 
 
+def test_fused_nside_matches_mside(prob):
+    """The direct n-side x-update (factorize_nside) is the same exact
+    solve as the Woodbury m-side detour -- identical windows."""
+    from lpbox_admm_tpu.ops import woodbury
+
+    state0 = lp.init_state(prob, CFG)
+    nf = woodbury.factorize_nside(prob.E, state0.free, lp._wb_ratio(CFG))
+    mside = pallas_lp.lp_window_fused(state0, prob, CFG, 30, bt=2,
+                                      skip_cvg_at=0, interpret=True)
+    nside = pallas_lp.lp_window_fused(state0, prob, CFG, 30, bt=2,
+                                      skip_cvg_at=0, interpret=True,
+                                      nfactor=(nf.hinv, nf.ete))
+    np.testing.assert_allclose(np.asarray(nside.x), np.asarray(mside.x),
+                               rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(nside.best_bin_obj),
+                               np.asarray(mside.best_bin_obj),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(nside.done),
+                                  np.asarray(mside.done))
+
+
+def test_fused_incumbent_stride_matches_xla(prob):
+    """incumbent_stride > 1 samples the incumbent identically in the
+    fused kernel (pl.when path) and the XLA step."""
+    cfg = CFG.replace(incumbent_stride=4)
+    state0 = lp.init_state(prob, cfg)
+    ref, _ = lp.solve_window(state0, prob, cfg, 30, record=False,
+                             skip_cvg_at=0)
+    fused = pallas_lp.lp_window_fused(state0, prob, cfg, 30, bt=2,
+                                      skip_cvg_at=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.best_bin_obj),
+                               np.asarray(ref.best_bin_obj),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused.cur_obj),
+                               np.asarray(ref.cur_obj),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused.best_sol),
+                               np.asarray(ref.best_sol),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_fused_stride_solve_quality(prob):
+    """A full solve with a strided incumbent stays feasible and within
+    a few percent of the stride-1 objectives."""
+    cfg = CFG.replace(incumbent_stride=8)
+    ref = pallas_lp.solve_fused(prob, CFG, max_iters=20000, window=50,
+                                bt=2, interpret=True)
+    strided = pallas_lp.solve_fused(prob, cfg, max_iters=20000, window=50,
+                                    bt=2, interpret=True)
+    o_ref = np.asarray(lp.objective_best(ref))
+    o_str = np.asarray(lp.objective_best(strided))
+    gap = np.abs(o_str - o_ref) / np.abs(o_ref)
+    assert np.all(gap < 0.05), (o_str, o_ref)
+
+
+def test_l2f_compact_fused_nside_end_to_end():
+    """l2f_solve_compact(use_fused=True) exercises the full pipeline:
+    fused policy windows, compaction, n-side factorization, fused
+    residual -- and stays within a few % of the unfused path."""
+    import flax.linen as nn
+    import jax
+
+    from lpbox_admm_tpu.config import PolicyConfig
+    from lpbox_admm_tpu.train.l2f import l2f_solve_compact
+
+    rng = np.random.RandomState(3)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(8)]
+    p = ca.make_problem(insts)
+    cfg = CFG.replace(incumbent_stride=4)
+
+    class OraclePolicy(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            last = x[:, -1, -1]
+            logit = jnp.where(last >= 0.5, 20.0, -20.0)[:, None]
+            return logit, jax.nn.sigmoid(logit)
+
+    model = OraclePolicy()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 20, 5)))
+    pcfg = PolicyConfig(net="mha")
+
+    _, out_f = l2f_solve_compact(p, model, variables, cfg, pcfg,
+                                 ws=100, max_iter=4000, min_bucket=32,
+                                 use_fused=True, scorer="model")
+    _, out_x = l2f_solve_compact(p, model, variables, cfg, pcfg,
+                                 ws=100, max_iter=4000, min_bucket=32,
+                                 use_fused=False, scorer="model")
+    o_f, o_x = np.asarray(out_f["obj"]), np.asarray(out_x["obj"])
+    gap = np.abs(o_f - o_x) / np.abs(o_x)
+    assert np.all(gap < 0.06), (o_f, o_x)
+    assert set(np.unique(np.asarray(out_f["solution"]))) <= {0.0, 1.0}
+
+
 def test_fused_window_records_trajectory(prob):
     state0 = lp.init_state(prob, CFG)
     ref_state, ref_traj = lp.solve_window(state0, prob, CFG, 20,
