@@ -261,7 +261,7 @@ def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
         f"fixed={fixed.mean():.0f} vars/instance "
         f"infeas_instances={int((infeas > 0).sum())} "
         f"throughput={BATCH / wall:.1f} instances/s "
-        f"timings={ {k: round(v, 3) for k, v in tm.items()} }")
+        f"timings={ {k: round(v, 3) if isinstance(v, float) else v for k, v in tm.items()} }")
     return (BATCH / wall, float(gap.mean()), float(gap.max()),
             int((infeas > 0).sum()))
 

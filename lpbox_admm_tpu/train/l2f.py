@@ -27,6 +27,11 @@ from ..config import PolicyConfig, SolverConfig
 from ..core import general, lp, qp
 from ..core.problem import LpProblem
 
+# Scorer backends whose compile failed in this process (the axon remote
+# Mosaic helper is flaky; jax does not cache failed compiles, so without
+# this memo every l2f call would re-pay the failed compile attempt).
+_failed_scorers: set = set()
+
 
 def traj_to_tokens(rows: jnp.ndarray, pcfg: PolicyConfig) -> jnp.ndarray:
     """(R, ws) trajectory rows -> (R, node_size, chunk_dim) policy tokens.
@@ -330,21 +335,34 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
         # MHA/MLP encoders; fall back to model.apply for anything else
         scorer = "pallas" if ("Dense_0" in params
                               and "Classifier_0" in params) else "model"
+        if scorer in _failed_scorers:
+            # a failed Mosaic compile is NOT cached by jax, so retrying
+            # every call would pay the full (often slow, axon) compile
+            # attempt each time; remember the failure per process
+            scorer = "fast" if pcfg.window_mode == "chunk" else "model"
 
     t0 = _time.time()
     try:
         state, max_free, max_rows = _policy_phase(
             state, prob, variables, model, cfg, pcfg, ws,
             policy_windows, fuse, scorer, max_iter, interpret)
-    except Exception:
+    except Exception as e:
         if scorer != "pallas":
             raise
         # Mosaic compile regression on this backend: fall back to the
         # transposed XLA scorer (chunk mode) or plain model.apply
+        import sys as _sys
+        print(f"l2f: pallas scorer failed ({type(e).__name__}: "
+              f"{str(e)[:200]}); falling back", file=_sys.stderr,
+              flush=True)
+        _failed_scorers.add("pallas")
         scorer = "fast" if pcfg.window_mode == "chunk" else "model"
+        t0 = _time.time()           # don't bill the failed attempt
         state, max_free, max_rows = _policy_phase(
             state, prob, variables, model, cfg, pcfg, ws,
             policy_windows, fuse, scorer, max_iter, interpret)
+    if timings is not None:
+        timings["scorer"] = scorer
     t0 = _mark("policy_s", t0)
 
     fixed_full = state.fixed_val
@@ -392,9 +410,18 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                     state, prob, cfg, max_iters=max_iter,
                     window=max(ws, 1000),
                     bt=bt, interpret=interpret, nfactor=nfactor)
-            except Exception:
+                if timings is not None:
+                    timings["residual_path"] = \
+                        f"fused(bt={bt},nside={nside})"
+            except Exception as e:
                 # e.g. Mosaic VMEM OOM at an unlucky compacted shape:
                 # the XLA residual is always available
+                import sys as _sys
+                print(f"l2f: fused residual failed ({type(e).__name__}"
+                      f": {str(e)[:200]}); XLA fallback",
+                      file=_sys.stderr, flush=True)
+                if timings is not None:
+                    timings["residual_path"] = "xla"
                 state = _residual_phase_xla(state, prob, cfg, ws,
                                             max_iter)
         else:

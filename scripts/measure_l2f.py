@@ -181,7 +181,7 @@ def main():
                       f"gap mean={gap.mean():+.4f} max={gap.max():+.4f} "
                       f"fixed={np.asarray(out['n_fixed']).mean():.0f} "
                       f"infeas={int((infeas>0).sum())} timings="
-                      + json.dumps({k: round(v, 3)
+                      + json.dumps({k: round(v, 3) if isinstance(v, float) else v
                                     for k, v in tm.items()}),
                       flush=True)
                 results[f"l2f_K{K}_cap{cap}"] = {

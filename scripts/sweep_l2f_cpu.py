@@ -1,0 +1,91 @@
+"""CPU (interpret-mode) quality sweep of the l2f operating point.
+
+Measures obj-gap statistics (NOT wall time -- interpret mode) of
+l2f_solve_compact against the plain fused solve under matching
+reporting semantics, for grids of (incumbent_stride, cap, K, conf).
+
+    scripts/cpu-env.sh python scripts/sweep_l2f_cpu.py \
+        --batch 64 --strides 1,8 --caps 10000
+"""
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--strides", default="1,8")
+    ap.add_argument("--caps", default="10000")
+    ap.add_argument("--ks", default="5000")
+    ap.add_argument("--conf", type=float, default=0.98)
+    ap.add_argument("--fix-windows", type=int, default=2)
+    ap.add_argument("--policy-windows", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from bench import get_instances
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG, PolicyConfig
+    from lpbox_admm_tpu.core import lp
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.ops import pallas_lp
+    from lpbox_admm_tpu.train import l2f
+    from lpbox_admm_tpu.train.imitation import PolicyTrainer
+    import jax
+
+    insts = get_instances()[:args.batch]
+    B = len(insts)
+    prob = ca.make_problem(insts)
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    print(f"backend={jax.default_backend()} B={B}", flush=True)
+
+    t0 = time.time()
+    st = pallas_lp.solve_fused(prob, cfg, window=100, bt=8)
+    _, plain_objs, _ = jax.jit(lp.select_solution)(
+        prob, lp.solution(st), lp.solution_best(st))
+    plain_objs = np.asarray(plain_objs)
+    print(f"plain oracle: mean={plain_objs.mean():.1f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    ckpt = os.path.join(ROOT, "checkpoints", "ca500_mha", "checkpoint",
+                        "best_checkpoint.npz")
+    model = build_policy("mha")
+    pcfg = PolicyConfig(net="mha", fix_confidence=args.conf,
+                        fix_windows=args.fix_windows)
+    trainer = PolicyTrainer(model, pcfg, cfg, ws=100)
+    variables = trainer.variables(trainer.load(ckpt))
+
+    for stride, cap, K in itertools.product(
+            [int(s) for s in args.strides.split(",")],
+            [int(c) for c in args.caps.split(",")],
+            [int(k) for k in args.ks.split(",")]):
+        c = cfg.replace(incumbent_stride=stride)
+        tm = {}
+        t0 = time.time()
+        _, out = l2f.l2f_solve_compact(
+            prob, model, variables, c, pcfg, ws=100,
+            policy_windows=args.policy_windows, use_fused=True,
+            rho_boost_iters=K, max_iter=cap, timings=tm)
+        objs = np.asarray(out["obj"])
+        gap = (objs - plain_objs) / np.abs(plain_objs)
+        infeas = np.asarray(out["infeasible"])
+        print(f"stride={stride} cap={cap} K={K}: mean={gap.mean():+.4f} "
+              f"max={gap.max():+.4f} "
+              f"infeas={int((infeas>0).sum())} "
+              f"fixed={np.asarray(out['n_fixed']).mean():.0f} "
+              f"it={int(out['iterations'])} "
+              f"paths={tm.get('scorer')}/{tm.get('residual_path')} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

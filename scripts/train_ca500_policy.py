@@ -25,6 +25,10 @@ def main():
     ap.add_argument("-eval_every", type=int, default=5)
     ap.add_argument("-seed", type=int, default=19260817)
     ap.add_argument("-out", default="checkpoints")
+    ap.add_argument("-eval_conf", type=float, default=0.98,
+                    help="fix confidence used for checkpoint-selection "
+                         "eval (the bench operating point, STATUS.md)")
+    ap.add_argument("-eval_fix_windows", type=int, default=2)
     args = ap.parse_args()
 
     import jax
