@@ -10,7 +10,14 @@ matrix traffic (pallas_guide.md: HBM -> VMEM -> compute).
 
 Per grid cell: a block of ``bt`` instances.  The contractions are
 written as VPU multiply-reduce over the (bt, m, n) block (per-instance
-mat-vecs have MXU width 1 and are better on the VPU).  Semantics match
+mat-vecs have MXU width 1 and are better on the VPU; measured: a
+batched in-kernel dot_general is ~5x slower and a pairs-trick MXU
+matmul loses f32 precision to bf16 accumulation).  Above a ~2MB
+temporary the mat-vecs run in 128-row chunks accumulated into VMEM
+scratch, so the Mosaic stack never materialises an E-sized broadcast
+product; this is what lets bt=8 fit at the compacted l2f residual
+shapes and bt=1-4 (rank-3 vector blocks with a unit sublane dim) fit
+the scale-ladder rungs.  Semantics match
 core/lp.step's woodbury path: box/sphere projections, y3 slack, rhs
 assembly, exact Woodbury solve with the PCG warm-start early exit, dual
 ascent, y1/y2 + objective-std stopping with per-instance freezing, and
@@ -39,30 +46,30 @@ _EPS = 2.2204e-16
 
 
 def auto_bt(B: int, m: int, n: int, extra_per_inst: int = 0,
-            budget: int = 8 * 1024 * 1024, nside: bool = False) -> int:
+            budget: int = 12 * 1024 * 1024, nside: bool = False) -> int:
     """Largest power-of-two instance block that (a) divides B and (b)
     keeps the per-grid-cell VMEM footprint under ``budget``.
 
     Small (compacted) problems want large blocks: a bt=8 cell at
     (m, n) = (128, 128) does little work per E-pass and launch overhead
     dominates.  Footprint per instance: E (m n) + G^{-1} (m m) (or
-    H^{-1} + EtE, 2 n^2, in nside mode) + ~2 more (m n)-sized kernel
-    temporaries (each ``E * v`` broadcast in fwd/tps materialises one
-    on the Mosaic stack; measured OOM at 18.4M/16M with the naive
-    model) + vectors, all f32.
+    H^{-1} + EtE, 2 n^2, in nside mode) + vectors, all f32.  The
+    chunked mat-vec helpers in the kernel cap the broadcast-product
+    temporaries (``OVERHEAD``), so the per-instance term no longer
+    carries 2 extra E-sized stack temporaries; physical VMEM is 16MB
+    per core, the default budget leaves margin for code + spills.
 
-    Returns 0 when no VALID block size fits: Mosaic requires the
-    sublane dim of a (bt, n) block to be a multiple of 8 (or the full
-    batch), so bt < 8 < B is not lowerable -- callers must fall back
-    to the XLA path.
+    Returns 0 when nothing fits (bt=1 over budget): callers fall back
+    to the XLA path.  bt < 8 is lowerable via the rank-3 vector block
+    layout (unit sublane dim) in ``lp_window_fused``.
     """
     mats = 2 * n * n if nside else m * m
-    per = 4 * (3 * m * n + mats + 8 * n + 6 * m + extra_per_inst)
-    bt = 1
-    while bt * 2 <= B and B % (bt * 2) == 0 and per * bt * 2 <= budget:
-        bt *= 2
-    if bt < 8 and bt < B:
-        return 0
+    per = 4 * (m * n + mats + 10 * n + 8 * m + extra_per_inst)
+    overhead = 3 * 1024 * 1024
+    bt, c = 0, 1
+    while c <= B and B % c == 0 and per * c + overhead <= budget:
+        bt = c
+        c *= 2
     return bt
 
 
@@ -72,8 +79,10 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                    bestobj_ref, bestsol_ref, it_ref,
                    *rest, cfg: SolverConfig, window: int,
                    skip_cvg_at, record: bool = False,
-                   nside: bool = False):
-    # remaining refs: [ete (nside only)] + outputs + [traj (record only)]
+                   nside: bool = False, r3: bool = False,
+                   chunk: bool = False):
+    # remaining refs: [ete (nside only)] + outputs + [traj (record
+    # only)] + 2 VMEM scratch buffers (chunked mat-vec accumulators)
     k = 0
     if nside:
         ete_ref = rest[0]
@@ -81,27 +90,65 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
     (x_out, z1_out, z2_out, z4_out, ring_out, count_out,
      done_out, curobj_out, bestobj_out, bestsol_out,
      y1_out, y2_out, y3_out, ex_out) = rest[k:k + 14]
-    traj_out = rest[k + 14] if record else None
-    E = E_ref[...]
-    ginv = ginv_ref[...]     # G^{-1} (m, m), or H^{-1} (n, n) when nside
-    ete = ete_ref[...] if nside else None
-    b = b_ref[...]
-    free = free_ref[...] > 0.5          # stored as f32 mask
-    free_f = free_ref[...]
-    rmask = rmask_ref[...] > 0.5
-    f_eff = feff_ref[...]
+    k += 14
+    traj_out = rest[k] if record else None
+    k += 1 if record else 0
+    sm_ref, sn_ref, s2_ref = rest[k], rest[k + 1], rest[k + 2]
+
+    if r3:
+        # vectors arrive as (bt, 1, k) blocks (unit sublane dim keeps
+        # bt < 8 lowerable); squeeze on load, expand on store
+        def ld(ref):
+            return ref[...].reshape(ref.shape[0], ref.shape[-1])
+    else:
+        def ld(ref):
+            return ref[...]
+
+    def st(ref, v):
+        ref[...] = v.reshape(ref.shape)
+
+    def bmv(mref, v, sref):
+        # out[i] = M[i, :] @ v per instance: (bt, I, J) x (bt, J) ->
+        # (bt, I).  When ``chunk``, slice the VMEM-resident matrix ref
+        # in 128-row chunks and accumulate into scratch so the
+        # broadcast product temporary is (bt, 128, J) instead of
+        # (bt, I, J) -- the Mosaic stack is the VMEM budget killer.
+        I = mref.shape[1]
+        if not chunk or I <= 128 or I % 128:
+            return jnp.sum(mref[...] * v[:, None, :], axis=-1)
+        for i0 in range(0, I, 128):
+            sref[:, i0:i0 + 128] = jnp.sum(
+                mref[:, i0:i0 + 128, :] * v[:, None, :], axis=-1)
+        return sref[:, :I]
+
+    def bmv_t(mref, w, sref):
+        # out[j] = M[:, j] @ w per instance (transpose pass), chunked
+        # over the output (lane) axis in 128-column slices
+        J = mref.shape[2]
+        if not chunk or J <= 128 or J % 128:
+            return jnp.sum(mref[...] * w[:, :, None], axis=1)
+        for j0 in range(0, J, 128):
+            sref[:, j0:j0 + 128] = jnp.sum(
+                mref[:, :, j0:j0 + 128] * w[:, :, None], axis=1)
+        return sref[:, :J]
+
+    b = ld(b_ref)
+    free_f = ld(free_ref)               # stored as f32 mask
+    free = free_f > 0.5
+    rmask = ld(rmask_ref) > 0.5
+    f_eff = ld(feff_ref)
 
     n_act = jnp.sum(free_f, axis=-1, keepdims=True)
     sqrt_n = jnp.sqrt(n_act)
     tol2 = cfg.pcg_tol * cfg.pcg_tol
 
     def fwd(v):
-        # E @ v per instance: (bt, m, n) * (bt, 1, n) -> (bt, m)
-        return jnp.sum(E * v[:, None, :], axis=-1)
+        # E @ v per instance: (bt, m, n) x (bt, n) -> (bt, m)
+        return bmv(E_ref, v, sm_ref)
 
     def tps(w):
-        # E^T @ w per instance: (bt, m, n) * (bt, m, 1) -> (bt, n)
-        return jnp.sum(E * w[:, :, None], axis=1)
+        # E^T @ w per instance: (bt, m, n) x (bt, m) -> (bt, n)
+        return bmv_t(E_ref, w, sn_ref)
 
     def body(t, carry):
         (x, z1, z2, z4, ring, count, done,
@@ -142,15 +189,16 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
             # direct n-side inverse (ops/woodbury.factorize_nside):
             # (c I + rho4 EtE)^{-1} rhs = H^{-1} rhs / rho4 -- one
             # (n, n) pass replaces fwd + (m, m) pass + two tps passes
-            x_exact = free_f * jnp.sum(
-                ginv * rhs[:, None, :], axis=-1) / rho4
-            EtEx0 = jnp.sum(ete * x0[:, None, :], axis=-1)
+            x_exact = free_f * bmv(ginv_ref, rhs, sn_ref) / rho4
+            EtEx0 = bmv(ete_ref, x0, s2_ref)
         else:
-            Erhs = fwd(rhs)
-            Ex0 = fwd(x0)
-            u = jnp.sum(ginv * Erhs[:, None, :], axis=-1)
-            EtU = tps(u)
-            EtEx0 = tps(Ex0)
+            # scratch discipline: each bmv result is consumed by the
+            # next op before its scratch buffer is rewritten
+            Erhs = fwd(rhs)                      # -> sm
+            u = bmv(ginv_ref, Erhs, s2_ref)      # -> s2
+            EtU = tps(u)                         # -> sn
+            Ex0 = fwd(x0)                        # -> sm
+            EtEx0 = bmv_t(E_ref, Ex0, s2_ref)    # -> s2
             x_exact = free_f * (rhs - EtU) / c
         # PCG warm-start early exit (reference :204-209 semantics)
         Mx0 = free_f * (c * x0 + rho4 * EtEx0)
@@ -200,18 +248,18 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
             track = active & ~newly_done
             rounded = free_f * (x_new >= 0.5).astype(x.dtype)
             obj_bin = jnp.sum(b * rounded, axis=-1)
-            cur_prev = curobj_out[...][:, 0]
-            best_prev = bestobj_out[...][:, 0]
-            curobj_out[...] = jnp.where(track, obj_bin, cur_prev)[:, None]
+            cur_prev = ld(curobj_out)[:, 0]
+            best_prev = ld(bestobj_out)[:, 0]
+            st(curobj_out, jnp.where(track, obj_bin, cur_prev)[:, None])
             better = track & (best_prev >= obj_bin)
             if cfg.feasible_incumbent:
                 exr = fwd(rounded)
                 feas = jnp.all((exr <= f_eff + 1e-6) | ~rmask, axis=-1)
                 better = better & feas
-            bestobj_out[...] = jnp.where(better, obj_bin,
-                                         best_prev)[:, None]
-            bestsol_out[...] = jnp.where(better[:, None], x_new,
-                                         bestsol_out[...])
+            st(bestobj_out, jnp.where(better, obj_bin,
+                                      best_prev)[:, None])
+            st(bestsol_out, jnp.where(better[:, None], x_new,
+                                      ld(bestsol_out)))
 
         if cfg.incumbent_stride > 1:
             pl.when(jnp.equal(
@@ -230,14 +278,15 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                 upd(y1, y1c), upd(y2, y2c), jnp.where(act, y3, y3c),
                 ex_new)
 
-    ex0 = fwd(free_f * x_ref[...])
+    x_init = ld(x_ref)
+    ex0 = fwd(free_f * x_init)
     # incumbents live in the output refs (updated in-place by the loop)
-    curobj_out[...] = curobj_ref[...]
-    bestobj_out[...] = bestobj_ref[...]
-    bestsol_out[...] = bestsol_ref[...]
-    carry = (x_ref[...], z1_ref[...], z2_ref[...], z4_ref[...],
-             ring_ref[...], count_ref[...], done_ref[...],
-             x_ref[...], x_ref[...], feff_ref[...], ex0)
+    st(curobj_out, ld(curobj_ref))
+    st(bestobj_out, ld(bestobj_ref))
+    st(bestsol_out, ld(bestsol_ref))
+    carry = (x_init, ld(z1_ref), ld(z2_ref), ld(z4_ref),
+             ld(ring_ref), ld(count_ref), ld(done_ref),
+             x_init, x_init, f_eff, ex0)
     if record:
         carry = jax.lax.fori_loop(0, window, body, carry)
     else:
@@ -264,17 +313,17 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                                       (jnp.int32(0), carry))
     (x, z1, z2, z4, ring, count, done,
      y1, y2, y3, ex) = carry
-    x_out[...] = x
-    z1_out[...] = z1
-    z2_out[...] = z2
-    z4_out[...] = z4
-    ring_out[...] = ring
-    count_out[...] = count
-    done_out[...] = done
-    y1_out[...] = y1
-    y2_out[...] = y2
-    y3_out[...] = y3
-    ex_out[...] = ex
+    st(x_out, x)
+    st(z1_out, z1)
+    st(z2_out, z2)
+    st(z4_out, z4)
+    st(ring_out, ring)
+    st(count_out, count)
+    st(done_out, done)
+    st(y1_out, y1)
+    st(y2_out, y2)
+    st(y3_out, y3)
+    st(ex_out, ex)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "window", "bt",
@@ -303,35 +352,53 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     assert B % bt == 0, (B, bt)
     nside = nfactor is not None
     grid = (B // bt,)
+    # bt < 8 cannot satisfy Mosaic's sublane-multiple-of-8 rule with
+    # (bt, k) vector blocks; switch vectors to a (bt, 1, k) layout
+    # whose trailing dims equal the array dims (always lowerable)
+    r3 = bt < 8
+    # chunk the in-kernel mat-vecs once any single broadcast-product
+    # temporary would exceed ~2MB of Mosaic stack
+    mats = 2 * n * n if nside else m * m
+    chunk = 4 * bt * max(m * n, mats) > 2 * 1024 * 1024
 
     def bs(shape_tail):
+        if r3 and len(shape_tail) == 1:
+            shape_tail = (1,) + shape_tail
         rank = len(shape_tail)
         return pl.BlockSpec((bt,) + shape_tail,
                             lambda i: (i,) + (0,) * rank,
                             memory_space=pltpu.VMEM)
 
+    def vec(a):
+        # (B, k) vector operand -> rank-3 layout when needed
+        return a[:, None, :] if r3 else a
+
     H = cfg.history_size
     kernel = functools.partial(_window_kernel, cfg=cfg, window=window,
                                skip_cvg_at=skip_cvg_at, record=record,
-                               nside=nside)
+                               nside=nside, r3=r3, chunk=chunk)
     free_f = state.free.astype(jnp.float32)
     done_f = state.done.astype(jnp.float32)
 
+    def vshape(k, dtype=jnp.float32):
+        shp = (B, 1, k) if r3 else (B, k)
+        return jax.ShapeDtypeStruct(shp, dtype)
+
     out_shapes = [
-        jax.ShapeDtypeStruct((B, n), jnp.float32),   # x
-        jax.ShapeDtypeStruct((B, n), jnp.float32),   # z1
-        jax.ShapeDtypeStruct((B, n), jnp.float32),   # z2
-        jax.ShapeDtypeStruct((B, m), jnp.float32),   # z4
-        jax.ShapeDtypeStruct((B, H), jnp.float32),   # ring
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),     # count
-        jax.ShapeDtypeStruct((B, 1), jnp.float32),   # done
-        jax.ShapeDtypeStruct((B, 1), jnp.float32),   # cur_obj
-        jax.ShapeDtypeStruct((B, 1), jnp.float32),   # best_bin_obj
-        jax.ShapeDtypeStruct((B, n), jnp.float32),   # best_sol
-        jax.ShapeDtypeStruct((B, n), jnp.float32),   # y1
-        jax.ShapeDtypeStruct((B, n), jnp.float32),   # y2
-        jax.ShapeDtypeStruct((B, m), jnp.float32),   # y3
-        jax.ShapeDtypeStruct((B, m), jnp.float32),   # ex
+        vshape(n),              # x
+        vshape(n),              # z1
+        vshape(n),              # z2
+        vshape(m),              # z4
+        vshape(H),              # ring
+        vshape(1, jnp.int32),   # count
+        vshape(1),              # done
+        vshape(1),              # cur_obj
+        vshape(1),              # best_bin_obj
+        vshape(n),              # best_sol
+        vshape(n),              # y1
+        vshape(n),              # y2
+        vshape(m),              # y3
+        vshape(m),              # ex
     ]
     if record:
         out_shapes.append(
@@ -357,13 +424,15 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         pl.BlockSpec(memory_space=pltpu.SMEM),  # it (scalar)
     ]
     operands = [
-        prob.E, nfactor[0] if nside else state.ginv, prob.b,
-        prob.var_mask.astype(jnp.float32),
-        prob.row_mask.astype(jnp.float32),
-        state.x, state.z1, state.z2, state.z4, state.f_eff, free_f,
-        state.obj_ring, state.obj_count[:, None], done_f[:, None],
-        state.cur_obj[:, None], state.best_bin_obj[:, None],
-        state.best_sol, jnp.array([state.it], jnp.int32)]
+        prob.E, nfactor[0] if nside else state.ginv, vec(prob.b),
+        vec(prob.var_mask.astype(jnp.float32)),
+        vec(prob.row_mask.astype(jnp.float32)),
+        vec(state.x), vec(state.z1), vec(state.z2), vec(state.z4),
+        vec(state.f_eff), vec(free_f),
+        vec(state.obj_ring), vec(state.obj_count[:, None]),
+        vec(done_f[:, None]),
+        vec(state.cur_obj[:, None]), vec(state.best_bin_obj[:, None]),
+        vec(state.best_sol), jnp.array([state.it], jnp.int32)]
     if nside:
         in_specs.append(bs((n, n)))             # ete
         operands.append(nfactor[1])
@@ -375,9 +444,17 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((bt, m), jnp.float32),            # sm (fwd)
+            pltpu.VMEM((bt, n), jnp.float32),            # sn (tps)
+            pltpu.VMEM((bt, max(m, n)), jnp.float32),    # s2
+        ],
         interpret=interpret,
     )(*operands)
 
+    if r3:
+        outs = [o.reshape((o.shape[0],) + o.shape[2:])
+                if i < 14 else o for i, o in enumerate(outs)]
     (x, z1, z2, z4, ring, count, done, cur_obj, best_obj, best_sol,
      y1, y2, y3, ex) = outs[:14]
     new_state = state._replace(

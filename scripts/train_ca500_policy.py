@@ -39,7 +39,11 @@ def main():
     from lpbox_admm_tpu.train import imitation
 
     cfg = LP_CONFIG.replace(linsolve="woodbury")
-    pcfg = PolicyConfig(net=args.net)
+    # fix_confidence/fix_windows only affect inference-time thresholding
+    # (deter_fix_2), not the imitation loss -- set them to the bench
+    # operating point so checkpoint selection optimizes what we ship
+    pcfg = PolicyConfig(net=args.net, fix_confidence=args.eval_conf,
+                        fix_windows=args.eval_fix_windows)
     rng = np.random.RandomState(args.seed % (2 ** 31))
 
     print("generating instances...", flush=True)

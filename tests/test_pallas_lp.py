@@ -161,6 +161,77 @@ def test_l2f_compact_fused_nside_end_to_end():
     assert set(np.unique(np.asarray(out_f["solution"]))) <= {0.0, 1.0}
 
 
+def _big_problem(B=2, m=512, n=512, seed=0):
+    """Shape large enough that lp_window_fused picks the chunked
+    mat-vec path (4*bt*m*n > 2MB at bt=2)."""
+    from lpbox_admm_tpu.core.problem import LpProblem
+
+    rng = np.random.RandomState(seed)
+    E = (rng.rand(B, m, n) < 0.02).astype(np.float32)
+    b = -rng.rand(B, n).astype(np.float32)
+    f = np.maximum(E.sum(-1) * 0.3, 1.0).astype(np.float32)
+    return LpProblem(E=jnp.asarray(E), b=jnp.asarray(b),
+                     f=jnp.asarray(f),
+                     var_mask=jnp.ones((B, n), bool),
+                     row_mask=jnp.ones((B, m), bool))
+
+
+def test_fused_chunked_mside_matches_xla():
+    """At shapes where the broadcast-product temporary exceeds the
+    chunk threshold, the 128-row chunked bmv/bmv_t path is exact."""
+    p = _big_problem()
+    state0 = lp.init_state(p, CFG)
+    ref, _ = lp.solve_window(state0, p, CFG, 10, record=False,
+                             skip_cvg_at=0)
+    fused = pallas_lp.lp_window_fused(state0, p, CFG, 10, bt=2,
+                                      skip_cvg_at=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(ref.x),
+                               rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fused.ex), np.asarray(ref.ex),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_fused_chunked_nside_matches_xla():
+    from lpbox_admm_tpu.ops import woodbury
+
+    p = _big_problem(m=640, n=512)
+    state0 = lp.init_state(p, CFG)
+    nf = woodbury.factorize_nside(p.E, state0.free, lp._wb_ratio(CFG))
+    ref, _ = lp.solve_window(state0, p, CFG, 10, record=False,
+                             skip_cvg_at=0)
+    fused = pallas_lp.lp_window_fused(state0, p, CFG, 10, bt=2,
+                                      skip_cvg_at=0, interpret=True,
+                                      nfactor=(nf.hinv, nf.ete))
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(ref.x),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_fused_bt1_lowerable_layout():
+    """bt=1 (rank-3 vector blocks) matches the XLA window -- the
+    layout the scale-ladder rungs need."""
+    p = _big_problem(B=2, m=256, n=256)
+    state0 = lp.init_state(p, CFG)
+    ref, _ = lp.solve_window(state0, p, CFG, 10, record=False,
+                             skip_cvg_at=0)
+    fused = pallas_lp.lp_window_fused(state0, p, CFG, 10, bt=1,
+                                      skip_cvg_at=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(ref.x),
+                               rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fused.best_bin_obj),
+                               np.asarray(ref.best_bin_obj),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_auto_bt_model():
+    """auto_bt: compacted l2f shape gets bt>=8; ladder rungs get small
+    but nonzero bt; the xl rung overflows to 0 (XLA fallback)."""
+    assert pallas_lp.auto_bt(128, 256, 256, nside=True) >= 8
+    assert pallas_lp.auto_bt(128, 256, 512) >= 8
+    assert pallas_lp.auto_bt(64, 512, 1024) >= 1
+    assert pallas_lp.auto_bt(64, 640, 1536) >= 1
+    assert pallas_lp.auto_bt(32, 1664, 4096) == 0
+
+
 def test_fused_window_records_trajectory(prob):
     state0 = lp.init_state(prob, CFG)
     ref_state, ref_traj = lp.solve_window(state0, prob, CFG, 20,
