@@ -80,7 +80,7 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
                    *rest, cfg: SolverConfig, window: int,
                    skip_cvg_at, record: bool = False,
                    nside: bool = False, r3: bool = False,
-                   chunk: bool = False):
+                   chunk: bool = False, unroll: int = 2):
     # remaining refs: [ete (nside only)] + outputs + [traj (record
     # only)] + 2 VMEM scratch buffers (chunked mat-vec accumulators)
     k = 0
@@ -295,11 +295,14 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
         # long before the last), so done blocks stop paying for the
         # window.  Not used with record=True, where callers expect the
         # full (bt, window, n) trajectory buffer to be written.
-        # The body is unrolled 2x per trip: per-trip loop overhead is a
-        # real cost at small (compacted) shapes, and an extra masked
-        # iteration after all-done is a mathematical no-op.
+        # The body is unrolled ``unroll``x per trip: per-trip loop
+        # overhead is a real cost at small (compacted) shapes, and an
+        # extra masked iteration after all-done is a mathematical
+        # no-op.  Large/chunked shapes use unroll=1 -- their loop
+        # overhead is amortised and the remote Mosaic compile helper
+        # is unreliable on big kernel bodies.
         bt = free_f.shape[0]
-        assert window % 2 == 0, window
+        assert window % unroll == 0, (window, unroll)
 
         def wcond(c):
             t, st = c
@@ -307,7 +310,9 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
 
         def wbody(c):
             t, st = c
-            return t + 2, body(t + 1, body(t, st))
+            for j in range(unroll):
+                st = body(t + j, st)
+            return t + unroll, st
 
         _, carry = jax.lax.while_loop(wcond, wbody,
                                       (jnp.int32(0), carry))
@@ -360,6 +365,9 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     # temporary would exceed ~2MB of Mosaic stack
     mats = 2 * n * n if nside else m * m
     chunk = 4 * bt * max(m * n, mats) > 2 * 1024 * 1024
+    # small unchunked shapes pay per-trip loop overhead -> unroll 2x;
+    # big/chunked bodies stay unrolled 1x (compile size)
+    unroll = 1 if chunk or window % 2 else 2
 
     def bs(shape_tail):
         if r3 and len(shape_tail) == 1:
@@ -376,7 +384,8 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     H = cfg.history_size
     kernel = functools.partial(_window_kernel, cfg=cfg, window=window,
                                skip_cvg_at=skip_cvg_at, record=record,
-                               nside=nside, r3=r3, chunk=chunk)
+                               nside=nside, r3=r3, chunk=chunk,
+                               unroll=unroll)
     free_f = state.free.astype(jnp.float32)
     done_f = state.done.astype(jnp.float32)
 

@@ -341,26 +341,30 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
             # attempt each time; remember the failure per process
             scorer = "fast" if pcfg.window_mode == "chunk" else "model"
 
+    # the axon remote Mosaic compile helper fails transiently: try the
+    # pallas scorer twice, then fall back to the transposed XLA scorer
+    # (chunk mode) or plain model.apply
+    fallback = "fast" if pcfg.window_mode == "chunk" else "model"
+    plan = [scorer, scorer, fallback] if scorer == "pallas" else [scorer]
     t0 = _time.time()
-    try:
-        state, max_free, max_rows = _policy_phase(
-            state, prob, variables, model, cfg, pcfg, ws,
-            policy_windows, fuse, scorer, max_iter, interpret)
-    except Exception as e:
-        if scorer != "pallas":
-            raise
-        # Mosaic compile regression on this backend: fall back to the
-        # transposed XLA scorer (chunk mode) or plain model.apply
-        import sys as _sys
-        print(f"l2f: pallas scorer failed ({type(e).__name__}: "
-              f"{str(e)[:200]}); falling back", file=_sys.stderr,
-              flush=True)
-        _failed_scorers.add("pallas")
-        scorer = "fast" if pcfg.window_mode == "chunk" else "model"
-        t0 = _time.time()           # don't bill the failed attempt
-        state, max_free, max_rows = _policy_phase(
-            state, prob, variables, model, cfg, pcfg, ws,
-            policy_windows, fuse, scorer, max_iter, interpret)
+    for i, sc in enumerate(plan):
+        try:
+            state, max_free, max_rows = _policy_phase(
+                state, prob, variables, model, cfg, pcfg, ws,
+                policy_windows, fuse, sc, max_iter, interpret)
+            scorer = sc
+            break
+        except Exception as e:
+            if i == len(plan) - 1:
+                raise
+            import sys as _sys
+            print(f"l2f: {sc} scorer failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); "
+                  f"{'retrying' if plan[i + 1] == sc else 'falling back'}",
+                  file=_sys.stderr, flush=True)
+            if plan[i + 1] != sc:
+                _failed_scorers.add(sc)
+            t0 = _time.time()   # don't bill the failed attempt
     if timings is not None:
         timings["scorer"] = scorer
     t0 = _mark("policy_s", t0)
@@ -400,30 +404,38 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                                        lp._wb_ratio(cfg))
                 nfactor = (nf.hinv, nf.ete)
             bt = auto_bt(B, prob.m, prob.n, nside=nside)
-            try:
-                if bt == 0:
-                    raise ValueError("no valid fused block size")
-                # large window + in-kernel all-done early exit:
-                # stragglers iterate inside one launch, finished blocks
-                # cost only DMA
-                state = solve_fused_from(
-                    state, prob, cfg, max_iters=max_iter,
-                    window=max(ws, 1000),
-                    bt=bt, interpret=interpret, nfactor=nfactor)
-                if timings is not None:
-                    timings["residual_path"] = \
-                        f"fused(bt={bt},nside={nside})"
-            except Exception as e:
-                # e.g. Mosaic VMEM OOM at an unlucky compacted shape:
-                # the XLA residual is always available
-                import sys as _sys
-                print(f"l2f: fused residual failed ({type(e).__name__}"
-                      f": {str(e)[:200]}); XLA fallback",
-                      file=_sys.stderr, flush=True)
-                if timings is not None:
-                    timings["residual_path"] = "xla"
-                state = _residual_phase_xla(state, prob, cfg, ws,
-                                            max_iter)
+            state0 = state
+            for attempt in (1, 2, 3):
+                try:
+                    if bt == 0:
+                        raise ValueError("no valid fused block size")
+                    # large window + in-kernel all-done early exit:
+                    # stragglers iterate inside one launch, finished
+                    # blocks cost only DMA
+                    state = solve_fused_from(
+                        state0, prob, cfg, max_iters=max_iter,
+                        window=max(ws, 1000),
+                        bt=bt, interpret=interpret, nfactor=nfactor)
+                    if timings is not None:
+                        timings["residual_path"] = \
+                            f"fused(bt={bt},nside={nside})"
+                    break
+                except Exception as e:
+                    # transient remote-compile failure (retry once) or
+                    # e.g. Mosaic VMEM OOM at an unlucky compacted
+                    # shape: the XLA residual is always available
+                    import sys as _sys
+                    last = attempt == 3 or bt == 0
+                    print(f"l2f: fused residual failed "
+                          f"({type(e).__name__}: {str(e)[:200]}); "
+                          f"{'XLA fallback' if last else 'retrying'}",
+                          file=_sys.stderr, flush=True)
+                    if last:
+                        if timings is not None:
+                            timings["residual_path"] = "xla"
+                        state = _residual_phase_xla(state0, prob, cfg,
+                                                    ws, max_iter)
+                        break
         else:
             state = _residual_phase_xla(state, prob, cfg, ws, max_iter)
         t0 = _mark("residual_s", t0)
