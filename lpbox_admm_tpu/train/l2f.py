@@ -253,17 +253,6 @@ def _residual_phase_xla(state, prob, cfg, ws, max_iter):
     return jax.lax.while_loop(cond, body, state)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_new", "m_new"))
-def _compact_jit(state, prob, cfg, n_new, m_new):
-    return lp.compact(state, prob, cfg, n_new, m_new=m_new)
-
-
-@functools.partial(jax.jit, static_argnames=("ratio",))
-def _nside_factor_jit(E, free, ratio):
-    from ..ops import woodbury as _wb
-    return _wb.factorize_nside(E, free, ratio)
-
-
 @jax.jit
 def _finalize(state, idx_map, fixed_full, free_full, orig_prob):
     """Scatter the last rounding AND the best feasible incumbent back to
@@ -275,6 +264,55 @@ def _finalize(state, idx_map, fixed_full, free_full, orig_prob):
     sol, obj, infeas = lp.select_solution(orig_prob, sol_last, sol_best)
     n_fixed = jnp.sum(~free_full & orig_prob.var_mask, axis=-1)
     return sol, obj, infeas, n_fixed
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "n_new", "m_new", "rho_boost", "max_iter", "ws", "bt",
+    "fused", "interpret"))
+def _tail_phase(state, orig_prob, cfg, n_new, m_new, rho_boost,
+                max_iter, ws, bt, fused, interpret):
+    """Everything after the policy-phase fetch in ONE executable:
+    compaction, rho fast-forward, n-side factorization, residual solve
+    (fused kernel or XLA windows) and scatter + incumbent selection.
+
+    Remote TPU links make per-dispatch latency a first-order cost (the
+    decomposed compact/factor/solve/finalize sequence spent ~0.25s of
+    a 0.78s l2f solve on round trips); one dispatch removes it."""
+    prob = orig_prob
+    fixed_full = state.fixed_val
+    free_full = state.free
+    B, n_full = state.x.shape
+    idx_map = jnp.broadcast_to(jnp.arange(n_full)[None], (B, n_full))
+    if n_new < n_full or m_new < prob.m:
+        state, prob, idx_map = lp.compact(state, prob, cfg, n_new,
+                                          m_new=m_new)
+    if rho_boost:
+        # OPTIONAL acceleration beyond the reference: the residual
+        # (the policy's leftover hard variables) only binarizes once
+        # rho is large, so fast-forward the schedule by advancing the
+        # iteration counter.  Off by default (reference semantics);
+        # quality/speed trade-off measured in STATUS.md.
+        state = state._replace(it=state.it + rho_boost)
+    if fused:
+        from ..ops.pallas_lp import solve_fused_from
+        nfactor = None
+        if prob.n <= prob.m:
+            # compaction leaves n <= m, where the direct n-side
+            # x-update beats the Woodbury detour (factorize_nside)
+            from ..ops import woodbury as _wb
+            nf = _wb.factorize_nside(prob.E, state.free,
+                                     lp._wb_ratio(cfg))
+            nfactor = (nf.hinv, nf.ete)
+        # large window + in-kernel all-done early exit: stragglers
+        # iterate inside one launch, finished blocks cost only DMA
+        state = solve_fused_from(state, prob, cfg, max_iters=max_iter,
+                                 window=max(ws, 1000), bt=bt,
+                                 interpret=interpret, nfactor=nfactor)
+    else:
+        state = _residual_phase_xla(state, prob, cfg, ws, max_iter)
+    sol, obj, infeas, n_fixed = _finalize(state, idx_map, fixed_full,
+                                          free_full, orig_prob)
+    return state, sol, obj, lp.objective(state), infeas, n_fixed
 
 
 def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
@@ -289,19 +327,23 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       timings: Optional[dict] = None):
     """LP l2f solve with bucketed physical compaction.
 
-    Three phases, two host round trips (host-driven per-window loops
-    are latency-bound over remote TPU links):
+    TWO dispatches, one host round trip between them (per-dispatch
+    latency is a first-order cost over remote TPU links):
 
     1. POLICY phase (one jit): up to ``policy_windows`` windows of
        [ws solver iterations -> policy scoring -> mask fixing] in a
        device-side while_loop -- the reference's policy fixes nearly
-       everything it ever will within the first few windows.
-    2. COMPACT (host): gather free columns and supported constraint
-       rows into power-of-two buckets (core.lp.compact) -- restores the
-       reference's shrinking per-iteration cost, the source of its
-       wall-clock speedup (SURVEY.md section 7 "hard parts").
-    3. RESIDUAL phase (one jit): run the small problem to convergence,
-       optionally with the fused Pallas kernel (``use_fused``).
+       everything it ever will within the first few windows.  Returns
+       the max free-variable / supported-row counts, whose (single)
+       host fetch decides the static bucket shapes.
+    2. TAIL phase (one jit, ``_tail_phase``): gather free columns and
+       supported constraint rows into power-of-two buckets
+       (core.lp.compact -- restores the reference's shrinking
+       per-iteration cost, the source of its wall-clock speedup,
+       SURVEY.md section 7 "hard parts"), then run the small problem
+       to convergence (fused Pallas kernel when ``use_fused`` and the
+       block fits VMEM, XLA windows otherwise) and scatter + select
+       the solution.
 
     All jitted phases are module-level, so repeated solves reuse the
     compile cache.  Returns (final_state, dict) with the full-width
@@ -371,81 +413,50 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
 
     fixed_full = state.fixed_val
     free_full = state.free
-    idx_map = jnp.broadcast_to(jnp.arange(n_full)[None], (B, n_full))
 
-    if not bool(jnp.all(state.done)):
-        mf, mr = int(max_free), int(max_rows)
-        n_b = min_bucket
-        while n_b < mf:
-            n_b *= 2
-        m_b = m_min_bucket
-        while m_b < mr:
-            m_b *= 2
-        if n_b < n_full or m_b < prob.m:
-            state, prob, idx_map = _compact_jit(state, prob, cfg, n_b,
-                                                min(m_b, prob.m))
-        t0 = _mark("compact_s", t0)
-        if rho_boost_iters:
-            # OPTIONAL acceleration beyond the reference: the residual
-            # (the policy's leftover hard variables) only binarizes once
-            # rho is large, so fast-forward the schedule by advancing
-            # the iteration counter.  Off by default (reference
-            # semantics); quality/speed trade-off measured in STATUS.md.
-            state = state._replace(it=state.it + rho_boost_iters)
-        if fuse:
-            from ..ops import woodbury as _wb
-            from ..ops.pallas_lp import auto_bt, solve_fused_from
-            # compaction leaves n <= m, where the direct n-side
-            # x-update beats the Woodbury detour (factorize_nside)
-            nside = prob.n <= prob.m
-            nfactor = None
-            if nside:
-                nf = _nside_factor_jit(prob.E, state.free,
-                                       lp._wb_ratio(cfg))
-                nfactor = (nf.hinv, nf.ete)
-            bt = auto_bt(B, prob.m, prob.n, nside=nside)
-            state0 = state
-            for attempt in (1, 2, 3):
-                try:
-                    if bt == 0:
-                        raise ValueError("no valid fused block size")
-                    # large window + in-kernel all-done early exit:
-                    # stragglers iterate inside one launch, finished
-                    # blocks cost only DMA
-                    state = solve_fused_from(
-                        state0, prob, cfg, max_iters=max_iter,
-                        window=max(ws, 1000),
-                        bt=bt, interpret=interpret, nfactor=nfactor)
-                    if timings is not None:
-                        timings["residual_path"] = \
-                            f"fused(bt={bt},nside={nside})"
-                    break
-                except Exception as e:
-                    # transient remote-compile failure (retry once) or
-                    # e.g. Mosaic VMEM OOM at an unlucky compacted
-                    # shape: the XLA residual is always available
-                    import sys as _sys
-                    last = attempt == 3 or bt == 0
-                    print(f"l2f: fused residual failed "
-                          f"({type(e).__name__}: {str(e)[:200]}); "
-                          f"{'XLA fallback' if last else 'retrying'}",
-                          file=_sys.stderr, flush=True)
-                    if last:
-                        if timings is not None:
-                            timings["residual_path"] = "xla"
-                        state = _residual_phase_xla(state0, prob, cfg,
-                                                    ws, max_iter)
-                        break
-        else:
-            state = _residual_phase_xla(state, prob, cfg, ws, max_iter)
-        t0 = _mark("residual_s", t0)
+    # ONE host fetch decides the (static) bucket shapes
+    mf, mr = (int(v) for v in jax.device_get((max_free, max_rows)))
+    n_b = min_bucket
+    while n_b < mf:
+        n_b *= 2
+    n_b = min(n_b, n_full)
+    m_b = m_min_bucket
+    while m_b < mr:
+        m_b *= 2
+    m_b = min(m_b, prob.m)
 
-    sol_full, obj, infeas, n_fixed = _finalize(
-        state, idx_map, fixed_full, free_full, orig_prob)
+    from ..ops.pallas_lp import auto_bt
+    nside = n_b <= m_b
+    bt = auto_bt(B, m_b, n_b, nside=nside) if fuse else 0
+    state0 = state
+    for attempt in (1, 2, 3):
+        fused = fuse and bt > 0 and attempt < 3
+        try:
+            state, sol_full, obj, obj_last, infeas, n_fixed = \
+                _tail_phase(state0, prob, cfg, n_b, m_b,
+                            rho_boost_iters, max_iter, ws, bt, fused,
+                            interpret)
+            if timings is not None:
+                timings["residual_path"] = (
+                    f"fused(bt={bt},nside={nside})" if fused else "xla")
+            break
+        except Exception as e:
+            # transient remote-compile failure (retry once with the
+            # fused kernel, then fall back to the XLA residual -- e.g.
+            # a Mosaic VMEM OOM at an unlucky compacted shape)
+            if not fused:
+                raise
+            import sys as _sys
+            print(f"l2f: fused tail failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); "
+                  f"{'retrying' if attempt == 1 else 'XLA fallback'}",
+                  file=_sys.stderr, flush=True)
+    t0 = _mark("tail_s", t0)
+
     out = {
         "solution": sol_full,
         "obj": obj,
-        "obj_last": lp.objective(state),   # reference-parity accessor
+        "obj_last": obj_last,              # reference-parity accessor
         "iterations": state.it,
         "infeasible": infeas,
         "n_fixed": n_fixed,

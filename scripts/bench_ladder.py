@@ -136,6 +136,31 @@ def main():
             runs.append(("xla-cg",
                          lambda p: lp.solve(p, LP_CONFIG.replace(
                              linsolve="cg"), window=100)))
+        if "hostloop" in solvers:
+            # host-driven windows: the xl rung's single 20k-iteration
+            # while_loop dispatch crashed the axon TPU worker; shorter
+            # dispatches with host fetches in between survive
+            def solve_hostloop(p, _cfg=LP_CONFIG.replace(
+                    linsolve="woodbury")):
+                import functools as _ft
+
+                @_ft.partial(jax.jit,
+                             static_argnames=("cfg", "w", "skip"))
+                def win(s, p, cfg, w, skip):
+                    s, _ = lp.solve_window(s, p, cfg, w, record=False,
+                                           skip_cvg_at=skip)
+                    return s
+
+                s = jax.jit(lp.init_state,
+                            static_argnames=("cfg",))(p, _cfg)
+                first = True
+                while True:
+                    s = win(s, p, _cfg, 500, 0 if first else None)
+                    first = False
+                    it, done = jax.device_get((s.it, jnp.all(s.done)))
+                    if bool(done) or int(it) >= _cfg.max_iters:
+                        return s
+            runs.append(("xla-woodbury-hostloop", solve_hostloop))
         bt = pallas_lp.auto_bt(B, m, n)
         if "fused" in solvers and bt > 0:
             runs.append((f"pallas-fused(bt={bt})",
