@@ -75,6 +75,17 @@ class SolverConfig:
 
     # Numerics
     dtype: str = "float32"
+    # Storage dtype for the constraint matrix inside the solve loop.
+    # "bfloat16" halves the HBM traffic of the E passes -- the
+    # iteration is bandwidth-bound at ladder scale (the (800,4000)
+    # rung streams ~3.3GB/iteration at ~70% of v5e HBM peak).  E's 0/1
+    # entries are exact in bf16; the vector operand is contracted as
+    # two bfloat16 limbs (core/lp._emv) giving ~16 mantissa bits, so
+    # converged objectives and the dual-stop behaviour match f32
+    # (tested).  The Woodbury G^{-1}/EE^T factors stay f32 (~11% of
+    # the E traffic at ladder shapes; bf16-rounding them perturbs the
+    # cancellation-sensitive exact x-update).
+    matvec_dtype: str = "float32"
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

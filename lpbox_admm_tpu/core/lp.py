@@ -110,7 +110,12 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     best0 = jnp.full((B,), _BEST_INIT, dt) if cfg.feasible_incumbent \
         else cur_obj
     if cfg.linsolve == "woodbury":
-        factor = woodbury.factorize(prob.E, free, _wb_ratio(cfg))
+        factor = woodbury.factorize(prob.E.astype(jnp.float32), free,
+                                    _wb_ratio(cfg))
+        # ginv/eet stay f32 even under matvec_dtype="bfloat16": their
+        # HBM traffic is ~m/(4n) of the E passes (~11% at ladder
+        # shapes) and bf16-rounding the factor entries injects 0.4%
+        # error into the cancellation-sensitive x_exact step.
         ginv, eet = factor.ginv, factor.eet
     else:
         ginv = jnp.zeros((B, 1, 1), dt)
@@ -133,8 +138,48 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
 
 def _esq_diag(E: jnp.ndarray, free: jnp.ndarray) -> jnp.ndarray:
     """diag(E_f^T E_f): per-column squared norms over free columns."""
-    d = jnp.sum(E * E, axis=1)
-    return d * free.astype(E.dtype)
+    d = jnp.sum(E.astype(jnp.float32) * E.astype(jnp.float32), axis=1)
+    return d * free.astype(d.dtype)
+
+
+def _emv(spec: str, M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Constraint/factor einsum honouring the storage dtype.
+
+    When ``M`` is stored bfloat16 (cfg.matvec_dtype, HBM-bound large
+    shapes) the contraction streams M once in bf16 (half HBM traffic;
+    exact for the 0/1 CA constraint matrix) while the vector operand is
+    split into two bfloat16 limbs ``v = v_hi + v_lo`` contracted in the
+    same dot (an extra free dim on the small side, f32 accumulation).
+    A naive single-limb bf16 cast of v is NOT usable here: its ~4e-3
+    rounding noise enters the dual ascent scaled by rho and the z4
+    feedback diverges at high rho (observed: relaxed objectives blowing
+    up past iteration ~8k).  Two limbs give ~16 mantissa bits on v
+    (~1.5e-5 relative), below the reference's own pcg_tol=1e-3 solve
+    slack, at negligible extra traffic (v is (n,) vs M (m,n)).
+    f32 storage keeps the exact highest-precision path."""
+    if M.dtype == jnp.bfloat16:
+        v32 = v.astype(jnp.float32)
+        limbs = []
+        for _ in range(3):                        # 3x8 mantissa bits
+            vi = v32.astype(jnp.bfloat16)
+            limbs.append(vi)
+            v32 = v32 - vi.astype(jnp.float32)
+        vs = jnp.stack(limbs, axis=1)             # (B, 3, ...)
+        in_m, rest = spec.split(",")
+        in_v, out = rest.split("->")
+        spec2 = f"{in_m},{in_v[0]}L{in_v[1:]}->{out[0]}L{out[1:]}"
+        r = jnp.einsum(spec2, M, vs, preferred_element_type=jnp.float32)
+        return r.sum(axis=1)
+    return jnp.einsum(spec, M, v, preferred_element_type=jnp.float32,
+                      precision=HI)
+
+
+def _mv_problem(prob: LpProblem, cfg: SolverConfig) -> LpProblem:
+    """Problem view for the solve loop: E in the configured matvec
+    storage dtype (cast once, outside the iteration loop)."""
+    if cfg.matvec_dtype == "bfloat16" and prob.E.dtype != jnp.bfloat16:
+        return prob._replace(E=prob.E.astype(jnp.bfloat16))
+    return prob
 
 
 def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
@@ -169,9 +214,8 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     # --- x update (PCG or Woodbury) -------------------------------------
     # rhs = rho1 y1 + rho2 y2 - (b + z1 + z2) + E^T(rho4 (f_eff - y3) - z4)
     #                                                                :872-878
-    et_term = jnp.einsum("bmn,bm->bn", prob.E,
-                         rho4 * (state.f_eff - y3) - state.z4,
-                         preferred_element_type=jnp.float32, precision=HI)
+    et_term = _emv("bmn,bm->bn", prob.E,
+                   rho4 * (state.f_eff - y3) - state.z4)
     rhs = free_f * (rho1 * y1 + rho2 * y2
                     - (prob.b + state.z1 + state.z2) + et_term)
     x0 = free_f * y1                                                # :892
@@ -180,10 +224,8 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     c = rho1 + rho2
 
     def matvec(p):
-        ep = jnp.einsum("bmn,bn->bm", prob.E, free_f * p,
-                        preferred_element_type=jnp.float32, precision=HI)
-        etep = jnp.einsum("bmn,bm->bn", prob.E, ep,
-                          preferred_element_type=jnp.float32, precision=HI)
+        ep = _emv("bmn,bn->bm", prob.E, free_f * p)
+        etep = _emv("bmn,bm->bn", prob.E, ep)
         return free_f * (c * p + rho4 * etep)
 
     if cfg.linsolve not in ("cg", "woodbury"):
@@ -195,15 +237,10 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
         # iteration total (T: rhs assembly above; F: [rhs, x0];
         # T: [u, E x0]) and E @ x_new is derived from the cached
         # E_f E_f^T instead of a 4th pass.
-        fw = jnp.einsum("bmn,bkn->bkm", prob.E,
-                        jnp.stack([rhs, x0], axis=1),
-                        preferred_element_type=jnp.float32, precision=HI)
+        fw = _emv("bmn,bkn->bkm", prob.E, jnp.stack([rhs, x0], axis=1))
         Erhs, Ex0 = fw[:, 0], fw[:, 1]
-        u = jnp.einsum("bmk,bk->bm", state.ginv, Erhs,
-                       preferred_element_type=jnp.float32, precision=HI)
-        tv = jnp.einsum("bmn,bkm->bkn", prob.E,
-                        jnp.stack([u, Ex0], axis=1),
-                        preferred_element_type=jnp.float32, precision=HI)
+        u = _emv("bmk,bk->bm", state.ginv, Erhs)
+        tv = _emv("bmn,bkm->bkn", prob.E, jnp.stack([u, Ex0], axis=1))
         EtU, EtEx0 = tv[:, 0], tv[:, 1]
         x_exact = free_f * (rhs - EtU) / c
         # PCG's warm-start early exit (cg.py / reference :204-209): if y1
@@ -216,9 +253,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
             < (cfg.pcg_tol ** 2) * jnp.sum(rhs * rhs, axis=-1)
         x_new = jnp.where(keep[:, None], x0, x_exact)
         # E @ x_exact = (E rhs - (E_f E_f^T) u) / c  -- no pass over E
-        Ex_exact = (Erhs - jnp.einsum(
-            "bmk,bk->bm", state.eet, u,
-            preferred_element_type=jnp.float32, precision=HI)) / c
+        Ex_exact = (Erhs - _emv("bmk,bk->bm", state.eet, u)) / c
         ex_branch = jnp.where(keep[:, None], Ex0, Ex_exact)
     else:
         diag = jnp.where(state.free, c + rho4 * _esq_diag(prob.E, state.free),
@@ -236,9 +271,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     if cfg.linsolve == "woodbury":
         ex_new = jnp.where(act_n & ~failed[:, None], ex_branch, state.ex)
     else:
-        ex_new = jnp.einsum("bmn,bn->bm", prob.E, free_f * x,
-                            preferred_element_type=jnp.float32,
-                            precision=HI)
+        ex_new = _emv("bmn,bn->bm", prob.E, free_f * x)
     z4 = state.z4 + gamma * rho4 * (ex_new + y3 - state.f_eff)      # :919-924
 
     # --- convergence -----------------------------------------------------
@@ -275,8 +308,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     if cfg.feasible_incumbent:
         # only roundings that satisfy the reduced constraints on rows
         # the free variables still couple to (cfg docstring)
-        exr = jnp.einsum("bmn,bn->bm", prob.E, cur_idx,
-                         preferred_element_type=jnp.float32, precision=HI)
+        exr = _emv("bmn,bn->bm", prob.E, cur_idx)
         feas = jnp.all((exr <= state.f_eff + 1e-6) | ~prob.row_mask,
                        axis=-1)
         better = better & feas
@@ -322,6 +354,8 @@ def solve_window(state: LpState, prob: LpProblem, cfg: SolverConfig,
     reference's (n_remaining, ws) layout plus the batch axis; rows of
     fixed/done variables repeat their frozen value.
     """
+
+    prob = _mv_problem(prob, cfg)   # cast once, outside the scan
 
     def body(s, _):
         s = step(s, prob, cfg, skip_cvg_at=skip_cvg_at,

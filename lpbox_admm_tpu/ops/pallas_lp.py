@@ -351,6 +351,9 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     l2f residual problem); ``state.ginv`` is then unused.
     """
     assert cfg.linsolve == "woodbury"
+    # the fused kernel keeps E/G^{-1} VMEM-resident in f32; bf16
+    # storage (cfg.matvec_dtype) is an XLA-path bandwidth lever
+    assert cfg.matvec_dtype == "float32", cfg.matvec_dtype
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, m, n = prob.E.shape

@@ -136,7 +136,7 @@ def main():
             runs.append(("xla-cg",
                          lambda p: lp.solve(p, LP_CONFIG.replace(
                              linsolve="cg"), window=100)))
-        if "hostloop" in solvers:
+        if "hostloop" in solvers or "hostloop-bf16" in solvers:
             # host-driven windows: the xl rung's single 20k-iteration
             # while_loop dispatch crashed the axon TPU worker; shorter
             # dispatches with host fetches in between survive
@@ -160,7 +160,17 @@ def main():
                     it, done = jax.device_get((s.it, jnp.all(s.done)))
                     if bool(done) or int(it) >= _cfg.max_iters:
                         return s
-            runs.append(("xla-woodbury-hostloop", solve_hostloop))
+            if "hostloop" in solvers:
+                runs.append(("xla-woodbury-hostloop", solve_hostloop))
+            if "hostloop-bf16" in solvers:
+                # bf16-stored E (exact: 0/1 entries), 3-limb vector
+                # split — halves the HBM traffic of the E passes that
+                # dominate at this rung (core/lp._emv)
+                runs.append(
+                    ("xla-woodbury-hostloop-bf16",
+                     lambda p: solve_hostloop(p, LP_CONFIG.replace(
+                         linsolve="woodbury",
+                         matvec_dtype="bfloat16"))))
         bt = pallas_lp.auto_bt(B, m, n)
         if "fused" in solvers and bt > 0:
             runs.append((f"pallas-fused(bt={bt})",

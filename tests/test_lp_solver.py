@@ -214,3 +214,33 @@ def test_select_solution_prefers_feasible_incumbent():
                                [[1, 0, 0], [0, 1, 0], [1, 0, 0]])
     np.testing.assert_allclose(np.asarray(obj), [-1, -1, -1])
     np.testing.assert_array_equal(np.asarray(infeas), 0)
+
+
+def test_bf16_matvec_quality(small_batch):
+    """matvec_dtype='bfloat16' (the HBM-bandwidth lever for ladder
+    shapes) converges to the same objectives as f32 within the
+    heuristic's spread, staying feasible."""
+    import jax.numpy as jnp
+
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+
+    _, prob = small_batch
+    cfg32 = LP_CONFIG.replace(linsolve="woodbury")
+    cfgbf = cfg32.replace(matvec_dtype="bfloat16")
+    ref = lp.solve(prob, cfg32, max_iters=20000, window=50)
+    # the two-limb vector split (core/lp._emv) keeps matvec noise
+    # ~1.5e-5, below the 1e-4 dual-stop threshold: bf16 runs converge
+    # like f32 rather than hitting the iteration cap
+    got = lp.solve(prob, cfgbf, max_iters=20000, window=50)
+    assert np.all(np.asarray(got.done))
+    o_ref = np.asarray(lp.objective_best(ref))
+    o_got = np.asarray(lp.objective_best(got))
+    gap = np.abs(o_got - o_ref) / np.abs(o_ref)
+    assert np.all(gap < 0.05), (o_got, o_ref)
+    sol = np.asarray(lp.solution_best(got))
+    assert set(np.unique(sol)) <= {0.0, 1.0}
+    ex = np.einsum("bmn,bn->bm", np.asarray(prob.E, dtype=np.float64),
+                   sol.astype(np.float64))
+    viol = (ex > np.asarray(prob.f) + 1e-6) & np.asarray(prob.row_mask)
+    np.testing.assert_array_equal(viol.sum(axis=-1), 0)
