@@ -65,7 +65,8 @@ def main():
     from lpbox_admm_tpu.train import imitation, l2f
     from lpbox_admm_tpu.utils import io as uio
 
-    cfg = LP_CONFIG.replace(linsolve=args.linsolve)
+    cfg = LP_CONFIG.replace(linsolve=args.linsolve,
+                            matvec_dtype=args.matvec_dtype)
     pcfg = PolicyConfig(net=args.net, node_size=20,
                         chunk_dim=args.ws // 20)
 

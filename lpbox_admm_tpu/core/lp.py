@@ -148,14 +148,15 @@ def _emv(spec: str, M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     When ``M`` is stored bfloat16 (cfg.matvec_dtype, HBM-bound large
     shapes) the contraction streams M once in bf16 (half HBM traffic;
     exact for the 0/1 CA constraint matrix) while the vector operand is
-    split into two bfloat16 limbs ``v = v_hi + v_lo`` contracted in the
-    same dot (an extra free dim on the small side, f32 accumulation).
-    A naive single-limb bf16 cast of v is NOT usable here: its ~4e-3
-    rounding noise enters the dual ascent scaled by rho and the z4
-    feedback diverges at high rho (observed: relaxed objectives blowing
-    up past iteration ~8k).  Two limbs give ~16 mantissa bits on v
-    (~1.5e-5 relative), below the reference's own pcg_tol=1e-3 solve
-    slack, at negligible extra traffic (v is (n,) vs M (m,n)).
+    split into three bfloat16 limbs ``v = v0 + v1 + v2`` contracted in
+    the same dot (an extra free dim on the small side, f32
+    accumulation).  A naive single-limb bf16 cast of v is NOT usable
+    here: its ~4e-3 rounding noise enters the dual ascent scaled by rho
+    and the z4 feedback diverges at high rho (observed: relaxed
+    objectives blowing up past iteration ~8k); two limbs (~16 mantissa
+    bits) still stalls convergence on some instances.  Three limbs give
+    ~24 mantissa bits -- f32-equivalent (verified: a 4th limb changes
+    nothing) -- at negligible extra traffic (v is (n,) vs M (m,n)).
     f32 storage keeps the exact highest-precision path."""
     if M.dtype == jnp.bfloat16:
         v32 = v.astype(jnp.float32)
@@ -308,9 +309,20 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     if cfg.feasible_incumbent:
         # only roundings that satisfy the reduced constraints on rows
         # the free variables still couple to (cfg docstring)
-        exr = _emv("bmn,bn->bm", prob.E, cur_idx)
-        feas = jnp.all((exr <= state.f_eff + 1e-6) | ~prob.row_mask,
-                       axis=-1)
+        def _feas(_):
+            exr = _emv("bmn,bn->bm", prob.E, cur_idx)
+            return jnp.all((exr <= state.f_eff + 1e-6) | ~prob.row_mask,
+                           axis=-1)
+        if cfg.incumbent_stride > 1:
+            # real branch on the scalar gate: at ladder shapes the
+            # feasibility pass is ~1/4 of the per-iteration HBM
+            # traffic, so actually skip it on off-stride iterations
+            # (track is all-False then, making `feas` irrelevant)
+            feas = jax.lax.cond(
+                jnp.equal(jnp.mod(it, cfg.incumbent_stride), 0),
+                _feas, lambda _: jnp.zeros((x.shape[0],), bool), None)
+        else:
+            feas = _feas(None)
         better = better & feas
     best_bin_obj = jnp.where(better, obj_bin, state.best_bin_obj)
     best_sol = jnp.where(better[:, None], x, state.best_sol)
@@ -497,6 +509,56 @@ def solve(prob: LpProblem, cfg: SolverConfig,
         return s
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def solve_blocked(prob: LpProblem, cfg: SolverConfig, block: int = 8,
+                  max_iters: Optional[int] = None, window: int = 500,
+                  ) -> Tuple[LpState, list]:
+    """Host-driven blocked solve with per-block early exit.
+
+    ``solve``'s single ``while_loop`` gates every instance on the
+    batch's slowest straggler (convergence iteration counts vary ~2x
+    across CA instances).  Here the batch is split into blocks of
+    ``block`` instances; each block runs window-quantized jit
+    dispatches until all ITS instances converge, so finished blocks
+    stop paying for stragglers elsewhere -- the XLA-path counterpart
+    of the fused Pallas kernel's in-kernel per-block all-done exit.
+    Host dispatches also keep single-dispatch duration bounded (the
+    axon remote executor has crashed on a 20k-iteration xl-rung
+    while_loop).  All blocks share one compiled executable (identical
+    shapes).
+
+    Returns the merged state (``it`` = max over blocks) and the
+    per-block iteration counts.
+    """
+    if max_iters is None:
+        max_iters = cfg.max_iters
+    B = prob.batch
+    assert B % block == 0, (B, block)
+
+    @functools.partial(jax.jit, static_argnames=("c", "w", "skip"))
+    def win(s, p, c, w, skip):
+        s, _ = solve_window(s, p, c, w, record=False, skip_cvg_at=skip)
+        return s
+
+    jinit = jax.jit(init_state, static_argnames=("cfg",))
+    states, iters = [], []
+    for lo in range(0, B, block):
+        p = jax.tree_util.tree_map(lambda a: a[lo:lo + block], prob)
+        s = jinit(p, cfg)
+        first = True
+        while True:
+            s = win(s, p, cfg, window, 0 if first else None)
+            first = False
+            it, done = jax.device_get((s.it, jnp.all(s.done)))
+            if bool(done) or int(it) >= max_iters:
+                break
+        states.append(s)
+        iters.append(int(it))
+    merged = jax.tree_util.tree_map(
+        lambda *xs: (jnp.max(jnp.stack(xs)) if xs[0].ndim == 0
+                     else jnp.concatenate(xs, axis=0)), *states)
+    return merged, iters
 
 
 def compact(state: LpState, prob: LpProblem, cfg: SolverConfig,

@@ -40,6 +40,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="instance batch size per step")
     p.add_argument("-linsolve", default="woodbury",
                    choices=["cg", "woodbury"])
+    p.add_argument("-matvec_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="constraint-matrix storage in the solve loop; "
+                        "bfloat16 halves HBM traffic at ladder scale "
+                        "(SolverConfig.matvec_dtype)")
     p.add_argument("-data_dir", default="data",
                    help="instance/trajectory data root")
     p.add_argument("-mesh", type=int, default=0,

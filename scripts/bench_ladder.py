@@ -136,7 +136,7 @@ def main():
             runs.append(("xla-cg",
                          lambda p: lp.solve(p, LP_CONFIG.replace(
                              linsolve="cg"), window=100)))
-        if "hostloop" in solvers or "hostloop-bf16" in solvers:
+        if any(s.startswith("hostloop") for s in solvers):
             # host-driven windows: the xl rung's single 20k-iteration
             # while_loop dispatch crashed the axon TPU worker; shorter
             # dispatches with host fetches in between survive
@@ -171,6 +171,25 @@ def main():
                      lambda p: solve_hostloop(p, LP_CONFIG.replace(
                          linsolve="woodbury",
                          matvec_dtype="bfloat16"))))
+        for s in solvers:
+            # blocked[-bf16][-sK][-bN]: core/lp.solve_blocked -- host
+            # windows + per-block early exit (stragglers don't gate
+            # the whole batch)
+            if not s.startswith("blocked"):
+                continue
+            cfg_b = LP_CONFIG.replace(linsolve="woodbury")
+            blk = 8
+            for part in s.split("-")[1:]:
+                if part == "bf16":
+                    cfg_b = cfg_b.replace(matvec_dtype="bfloat16")
+                elif part.startswith("s"):
+                    cfg_b = cfg_b.replace(incumbent_stride=int(part[1:]))
+                elif part.startswith("b"):
+                    blk = int(part[1:])
+            runs.append(
+                (f"xla-{s}",
+                 lambda p, c=cfg_b, bk=blk: lp.solve_blocked(
+                     p, c, block=bk, window=500)[0]))
         bt = pallas_lp.auto_bt(B, m, n)
         if "fused" in solvers and bt > 0:
             runs.append((f"pallas-fused(bt={bt})",

@@ -216,6 +216,27 @@ def test_select_solution_prefers_feasible_incumbent():
     np.testing.assert_array_equal(np.asarray(infeas), 0)
 
 
+def test_solve_blocked_matches_solve(small_batch):
+    """Per-block early exit (solve_blocked) reproduces solve()'s
+    trajectories exactly: window-quantized stepping is identical, only
+    the stopping granularity changes, so a block whose instances all
+    converge by iteration T carries the same state as the full batch
+    at T (done-instance freezing makes extra windows no-ops)."""
+    _, prob = small_batch
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    ref = lp.solve(prob, cfg, max_iters=20000, window=50)
+    got, iters = lp.solve_blocked(prob, cfg, block=2, max_iters=20000,
+                                  window=50)
+    assert len(iters) == 2
+    assert max(iters) == int(ref.it)
+    np.testing.assert_allclose(np.asarray(lp.objective_best(got)),
+                               np.asarray(lp.objective_best(ref)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
+    assert np.all(np.asarray(got.done))
+
+
 def test_bf16_matvec_quality(small_batch):
     """matvec_dtype='bfloat16' (the HBM-bandwidth lever for ladder
     shapes) converges to the same objectives as f32 within the
