@@ -221,7 +221,11 @@ def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
     from lpbox_admm_tpu.train import l2f
     from lpbox_admm_tpu.train.imitation import PolicyTrainer
 
-    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    # incumbent_stride=8 is part of the measured operating point
+    # (scripts/measure_l2f.py --stride default; quality validated in
+    # the STATUS sweeps -- sampling the incumbent every 8 iterations
+    # drops the per-iteration feasibility pass at no measurable gap)
+    cfg = LP_CONFIG.replace(linsolve="woodbury", incumbent_stride=8)
     pcfg = PolicyConfig(net="mha", fix_confidence=fix_confidence,
                         fix_windows=fix_windows)
     model = build_policy("mha")
@@ -292,7 +296,7 @@ def main():
 
     log(f"devices: {jax.devices()}")
     prob = ca.make_problem(insts)
-    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    cfg = LP_CONFIG.replace(linsolve="woodbury", incumbent_stride=8)
     log(f"problem: E {prob.E.shape}")
 
     xla_ips, objs, _ = run_solver(

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--fix-windows", type=int, default=2)
     ap.add_argument("--stride", type=int, default=8,
                     help="incumbent_stride for the quality configs")
+    ap.add_argument("--ckpt", default=None,
+                    help="policy checkpoint (default: the shipped "
+                         "checkpoints/ca500_mha best)")
     ap.add_argument("--skip-plain", action="store_true")
     ap.add_argument("--skip-scorer", action="store_true")
     args = ap.parse_args()
@@ -114,8 +117,8 @@ def main():
                 "mean_obj": float(objs.mean())}
 
     # ---- l2f sweep -------------------------------------------------------
-    ckpt = os.path.join(ROOT, "checkpoints", "ca500_mha", "checkpoint",
-                        "best_checkpoint.npz")
+    ckpt = args.ckpt or os.path.join(ROOT, "checkpoints", "ca500_mha",
+                                     "checkpoint", "best_checkpoint.npz")
     pcfg = PolicyConfig(net="mha", fix_confidence=args.conf,
                         fix_windows=args.fix_windows)
     model = build_policy("mha")
