@@ -178,18 +178,20 @@ def main():
             if not s.startswith("blocked"):
                 continue
             cfg_b = LP_CONFIG.replace(linsolve="woodbury")
-            blk = 8
+            blk, cap = 8, None
             for part in s.split("-")[1:]:
                 if part == "bf16":
                     cfg_b = cfg_b.replace(matvec_dtype="bfloat16")
                 elif part.startswith("s"):
                     cfg_b = cfg_b.replace(incumbent_stride=int(part[1:]))
+                elif part.startswith("c"):
+                    cap = int(part[1:])
                 elif part.startswith("b"):
                     blk = int(part[1:])
             runs.append(
                 (f"xla-{s}",
-                 lambda p, c=cfg_b, bk=blk: lp.solve_blocked(
-                     p, c, block=bk, window=500)[0]))
+                 lambda p, c=cfg_b, bk=blk, mi=cap: lp.solve_blocked(
+                     p, c, block=bk, window=500, max_iters=mi)[0]))
         bt = pallas_lp.auto_bt(B, m, n)
         if "fused" in solvers and bt > 0:
             runs.append((f"pallas-fused(bt={bt})",
