@@ -689,7 +689,7 @@ def solution_best(state: LpState) -> jnp.ndarray:
 
 
 def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
-                    sol_best: jnp.ndarray):
+                    sol_best: jnp.ndarray, repair_rounds: int = 0):
     """Pick, per instance, between the final rounding and the best
     feasible incumbent rounding (both full-width, original indices).
 
@@ -698,6 +698,12 @@ def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
     infeasible.  Returns (sol, obj, infeasible_rows) of the selection.
     A strict quality improvement over the reference, which always
     reports the last rounding (allres.csv, :1081).
+
+    ``repair_rounds > 0`` additionally polishes the selected solution
+    with the greedy set-packing refill (ops/repair.greedy_repair):
+    flips in up-to-that-many still-fitting bids, never degrading the
+    objective or feasibility.  Keep it equal on both sides of any
+    gap comparison (reporting semantics must match).
     """
     sols = jnp.stack([sol_last, sol_best], axis=1)          # (B, 2, n)
     ex = jnp.einsum("bmn,bkn->bkm", prob.E, sols,
@@ -712,4 +718,14 @@ def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
     sol = jnp.take_along_axis(sols, k[:, None, None], axis=1)[:, 0]
     obj_sel = jnp.take_along_axis(obj, k[:, None], axis=1)[:, 0]
     inf_sel = jnp.take_along_axis(infeas, k[:, None], axis=1)[:, 0]
+    if repair_rounds:
+        from ..ops.repair import greedy_repair
+        sol = greedy_repair(prob, sol, rounds=repair_rounds)
+        obj_sel = jnp.einsum("bn,bn->b", prob.b, sol,
+                             preferred_element_type=jnp.float32,
+                             precision=HI)
+        exr = jnp.einsum("bmn,bn->bm", prob.E, sol,
+                         preferred_element_type=jnp.float32,
+                         precision=HI)
+        inf_sel = jnp.sum((exr > prob.f) & prob.row_mask, axis=-1)
     return sol, obj_sel, inf_sel

@@ -1,0 +1,70 @@
+"""Greedy solution repair (set-packing refill) for binary LPs.
+
+A batched polishing pass applied to a feasible binary rounding of
+``min b.x  s.t.  E x <= f`` (b <= 0 for CA auctions -- prices are
+negated): repeatedly flip in the variable with the best (most
+negative) objective coefficient among those that still fit the
+remaining row slack.  This is the classic greedy refill heuristic for
+set packing; the reference has no equivalent (it always reports the
+raw rounding, LPboxADMMsolver.cpp:1081), so this is a strict quality
+addition of the TPU framework.
+
+It is particularly effective on the learned-early-fixing quality
+tail: a wrong fix-to-0 leaves row capacity idle that refill can give
+to other bids, recovering part of the objective gap without
+re-solving.
+
+Each round costs one O(B m n) comparison pass (same traffic as a
+constraint matvec) + one argmin, all batched; ``rounds`` bounds the
+number of flips per instance.  Never degrades: flips are only taken
+while they strictly improve the objective and preserve feasibility.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_TOL = 1e-6
+
+
+def greedy_repair(prob, sol: jnp.ndarray, rounds: int = 16
+                  ) -> jnp.ndarray:
+    """Refill a feasible rounding; returns the improved (B, n) solution.
+
+    ``sol`` must be binary and feasible per instance (rows where
+    ``row_mask`` holds); infeasible instances pass through unchanged
+    (their slack is negative somewhere, so nothing "fits" -- no flip
+    is taken on rows already violated only if the candidate adds to a
+    violated row; to stay conservative we gate flips on full-instance
+    feasibility).
+    """
+    b, E, f = prob.b, prob.E, prob.f
+    row_mask = prob.row_mask
+    var_mask = prob.var_mask
+    slack0 = f - jnp.einsum("bmn,bn->bm", E, sol,
+                            preferred_element_type=jnp.float32)
+    feas0 = jnp.all((slack0 >= -_TOL) | ~row_mask, axis=-1)   # (B,)
+
+    def body(carry, _):
+        sol, slack = carry
+        # fits[b, j]: column j's coefficients are within slack on every
+        # valid row (padding rows never constrain)
+        fits = jnp.all((E <= slack[:, :, None] + _TOL)
+                       | ~row_mask[:, :, None], axis=1)        # (B, n)
+        cand = fits & (sol < 0.5) & var_mask & (b < -_TOL) \
+            & feas0[:, None]
+        gain = jnp.where(cand, b, 0.0)
+        j = jnp.argmin(gain, axis=-1)                          # (B,)
+        take = jnp.take_along_axis(gain, j[:, None], axis=-1)[:, 0] \
+            < -_TOL
+        onehot = (jnp.arange(sol.shape[-1])[None, :] == j[:, None]) \
+            & take[:, None]
+        sol = jnp.where(onehot, 1.0, sol)
+        ecol = jnp.take_along_axis(
+            E, j[:, None, None], axis=2)[:, :, 0]              # (B, m)
+        slack = slack - jnp.where(take[:, None], ecol, 0.0)
+        return (sol, slack), None
+
+    (sol, _), _ = jax.lax.scan(body, (sol, slack0), None, length=rounds)
+    return sol

@@ -216,6 +216,53 @@ def test_select_solution_prefers_feasible_incumbent():
     np.testing.assert_array_equal(np.asarray(infeas), 0)
 
 
+def test_greedy_repair():
+    """Refill heuristic: takes the fitting improving bids in
+    b-descending order, preserves feasibility, never degrades."""
+    from lpbox_admm_tpu.core.problem import stack_lp_instances
+    from lpbox_admm_tpu.ops.repair import greedy_repair
+
+    # 2 items, 4 bids: E columns = [item0, item1, both, item0]
+    E = np.array([[1, 0, 1, 1],
+                  [0, 1, 1, 0]], dtype=np.float32)
+    b = np.array([-3.0, -2.0, -4.0, -1.0], dtype=np.float32)
+    prob = stack_lp_instances([b, b], [E, E], n_pad=4, m_pad=2)
+    # instance 0: empty solution -> greedy picks bid2 (b=-4, uses both
+    # items), nothing else fits
+    # instance 1: bid1 taken -> refill adds bid0 (-3); bid2 conflicts
+    sol = jnp.asarray([[0.0, 0, 0, 0],
+                       [0.0, 1, 0, 0]])
+    out = np.asarray(greedy_repair(prob, sol, rounds=4))
+    np.testing.assert_allclose(out, [[0, 0, 1, 0], [1, 1, 0, 0]])
+    # feasible-input invariant: E @ out <= f
+    ex = np.einsum("mn,bn->bm", E, out)
+    assert np.all(ex <= 1 + 1e-6)
+    # infeasible input passes through unchanged
+    bad = jnp.asarray([[1.0, 1, 1, 1], [1.0, 1, 1, 1]])
+    out_bad = np.asarray(greedy_repair(prob, bad, rounds=4))
+    np.testing.assert_allclose(out_bad, np.asarray(bad))
+
+
+def test_select_solution_repair_improves(small_batch):
+    """repair_rounds never worsens the selected objective and keeps
+    feasibility on converged CA solves."""
+    import functools
+    import jax
+
+    _, prob = small_batch
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    st = lp.solve(prob, cfg, max_iters=20000, window=50)
+    base = jax.jit(lp.select_solution)(
+        prob, lp.solution(st), lp.solution_best(st))
+    rep = jax.jit(functools.partial(lp.select_solution,
+                                    repair_rounds=16))(
+        prob, lp.solution(st), lp.solution_best(st))
+    assert np.all(np.asarray(rep[1]) <= np.asarray(base[1]) + 1e-4)
+    assert np.all(np.asarray(rep[2]) == 0)
+    sol = np.asarray(rep[0])
+    assert set(np.unique(sol)) <= {0.0, 1.0}
+
+
 def test_solve_blocked_matches_solve(small_batch):
     """Per-block early exit (solve_blocked) reproduces solve()'s
     trajectories exactly: window-quantized stepping is identical, only
