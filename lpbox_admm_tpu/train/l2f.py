@@ -253,24 +253,27 @@ def _residual_phase_xla(state, prob, cfg, ws, max_iter):
     return jax.lax.while_loop(cond, body, state)
 
 
-@jax.jit
-def _finalize(state, idx_map, fixed_full, free_full, orig_prob):
+@functools.partial(jax.jit, static_argnames=("repair_rounds",))
+def _finalize(state, idx_map, fixed_full, free_full, orig_prob,
+              repair_rounds=0):
     """Scatter the last rounding AND the best feasible incumbent back to
-    original indices, then pick per instance (core.lp.select_solution)."""
+    original indices, then pick per instance (core.lp.select_solution),
+    optionally polishing with the greedy refill (ops/repair)."""
     sol_last = lp.scatter_solution(state, idx_map, fixed_full, free_full)
     state_b = state._replace(x=lp.solution_best(state))
     sol_best = lp.scatter_solution(state_b, idx_map, fixed_full,
                                    free_full)
-    sol, obj, infeas = lp.select_solution(orig_prob, sol_last, sol_best)
+    sol, obj, infeas = lp.select_solution(orig_prob, sol_last, sol_best,
+                                          repair_rounds=repair_rounds)
     n_fixed = jnp.sum(~free_full & orig_prob.var_mask, axis=-1)
     return sol, obj, infeas, n_fixed
 
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "n_new", "m_new", "rho_boost", "max_iter", "ws", "bt",
-    "fused", "interpret"))
+    "fused", "interpret", "repair_rounds"))
 def _tail_phase(state, orig_prob, cfg, n_new, m_new, rho_boost,
-                max_iter, ws, bt, fused, interpret):
+                max_iter, ws, bt, fused, interpret, repair_rounds=0):
     """Everything after the policy-phase fetch in ONE executable:
     compaction, rho fast-forward, n-side factorization, residual solve
     (fused kernel or XLA windows) and scatter + incumbent selection.
@@ -311,7 +314,8 @@ def _tail_phase(state, orig_prob, cfg, n_new, m_new, rho_boost,
     else:
         state = _residual_phase_xla(state, prob, cfg, ws, max_iter)
     sol, obj, infeas, n_fixed = _finalize(state, idx_map, fixed_full,
-                                          free_full, orig_prob)
+                                          free_full, orig_prob,
+                                          repair_rounds=repair_rounds)
     return state, sol, obj, lp.objective(state), infeas, n_fixed
 
 
@@ -324,6 +328,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       rho_boost_iters: int = 0,
                       interpret: Optional[bool] = None,
                       scorer: Optional[str] = None,
+                      repair_rounds: int = 0,
                       timings: Optional[dict] = None):
     """LP l2f solve with bucketed physical compaction.
 
@@ -435,7 +440,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
             state, sol_full, obj, obj_last, infeas, n_fixed = \
                 _tail_phase(state0, prob, cfg, n_b, m_b,
                             rho_boost_iters, max_iter, ws, bt, fused,
-                            interpret)
+                            interpret, repair_rounds=repair_rounds)
             if timings is not None:
                 timings["residual_path"] = (
                     f"fused(bt={bt},nside={nside})" if fused else "xla")
