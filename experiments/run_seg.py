@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("-result_dir", default="result")
     p.add_argument("-max_eval_iters", type=int, default=30,
                    help="l2f iteration budget (Seg trainer.py:705)")
+    p.add_argument("-repair_sweeps", type=int, default=8,
+                   help="ICM one-flip polish sweeps applied to BOTH the "
+                        "plain oracle and the l2f solution in -phase "
+                        "test (0 = reference reporting semantics)")
     return p.parse_args()
 
 
@@ -111,8 +115,9 @@ def main():
                  for p in all_paths}
         eval_paths = [by_id[str(i)] for i in ids]
     eval_prob = seg.load_problem(eval_paths, num_nodes=args.num_nodes)
-    eval_ds = imitation.build_dataset_qp(eval_prob, cfg,
-                                         record_iters=5 * args.ws)
+    eval_ds = imitation.build_dataset_qp(
+        eval_prob, cfg, record_iters=5 * args.ws,
+        repair_sweeps=args.repair_sweeps if args.phase == "test" else 0)
 
     if args.phase == "train":
         train_prob = seg.load_problem(paths[:n_train],
@@ -152,9 +157,11 @@ def main():
         wall = time.time() - t0
         m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,
                                eval_ds.labels.reshape(
-                                   eval_prob.batch, *eval_prob.grid))
+                                   eval_prob.batch, *eval_prob.grid),
+                               repair_sweeps=args.repair_sweeps)
         H, W = eval_prob.grid
-        sol, _ = qp.select_solution(state, eval_prob)
+        sol, _ = qp.select_solution(state, eval_prob,
+                                    repair_sweeps=args.repair_sweeps)
         sol = np.asarray(sol)
         for i, p in enumerate(eval_paths):
             name = os.path.splitext(os.path.basename(p))[0]

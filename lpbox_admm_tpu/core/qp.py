@@ -285,11 +285,15 @@ def solution_best(state: QpState) -> jnp.ndarray:
     return jnp.where(state.free, rounded, state.fixed_val)
 
 
-def select_solution(state: QpState, prob: QpProblem):
+def select_solution(state: QpState, prob: QpProblem,
+                    repair_sweeps: int = 0):
     """Per instance, the lower-energy of (final rounding, best incumbent
     rounding).  The BQP is unconstrained so every rounding is feasible;
     the reference reports only the last (Seg xiter_all.csv, :1376) --
-    this is a strict quality improvement.  Returns (sol, energy)."""
+    this is a strict quality improvement.  With ``repair_sweeps > 0``
+    the selected rounding is further polished by the 4-coloured
+    one-flip descent (ops/repair.icm_descent), which never increases
+    the energy.  Returns (sol, energy)."""
     mask = prob.mask.astype(state.x.dtype)
     sols = jnp.stack([solution(state) * mask,
                       solution_best(state) * mask], axis=1)  # (B,2,H,W)
@@ -302,7 +306,13 @@ def select_solution(state: QpState, prob: QpProblem):
     k = jnp.argmin(e, axis=1)
     sol = jnp.take_along_axis(sols, k[:, None, None, None],
                               axis=1)[:, 0]
-    return sol, jnp.take_along_axis(e, k[:, None], axis=1)[:, 0]
+    energy_sel = jnp.take_along_axis(e, k[:, None], axis=1)[:, 0]
+    if repair_sweeps > 0:
+        from ..ops.repair import icm_descent
+        sol = icm_descent(prob.stencil, prob.b, prob.mask, sol,
+                          sweeps=repair_sweeps)
+        energy_sel = en(sol)
+    return sol, energy_sel
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_iters", "window",

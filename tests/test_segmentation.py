@@ -217,3 +217,48 @@ def test_save_img(tmp_path, seg_batch):
     img = np.asarray(Image.open(path))
     assert img.shape == sol.shape
     assert set(np.unique(img)).issubset({0, 255})
+
+def test_icm_descent(seg_batch):
+    """The 4-coloured one-flip polish (ops/repair.icm_descent) never
+    increases energy, reaches a 1-flip local optimum, and leaves masked
+    pixels untouched."""
+    from lpbox_admm_tpu.ops.repair import icm_descent
+
+    prob = seg_batch
+    state = qp.solve(prob, SEG_CONFIG, max_iters=60, window=20)
+
+    def en(x):
+        ax = prob.stencil.a_matvec(x)
+        return (jnp.sum(x * ax, axis=(-2, -1))
+                + jnp.sum(prob.b * x, axis=(-2, -1)) + prob.const)
+
+    sol0 = qp.solution(state) * prob.mask.astype(state.x.dtype)
+    e0 = np.asarray(en(sol0))
+    sol1 = icm_descent(prob.stencil, prob.b, prob.mask, sol0, sweeps=12)
+    e1 = np.asarray(en(sol1))
+    assert np.all(e1 <= e0 + 1e-4)
+    assert np.any(e1 < e0 - 1e-3)  # the truncated solve is improvable
+    # masked-out (padding) pixels untouched
+    assert np.all(np.asarray(sol1)[~np.asarray(prob.mask)] == 0)
+    # 1-flip local optimality: no single flip improves any instance
+    sol1_np = np.asarray(sol1)
+    ax = np.asarray(prob.stencil.a_matvec(jnp.asarray(sol1_np)))
+    s = 1.0 - 2.0 * sol1_np
+    delta = (np.asarray(prob.stencil.degree)
+             + s * (2.0 * ax + np.asarray(prob.b)))
+    assert np.all(delta[np.asarray(prob.mask)] >= -1e-4)
+
+
+def test_select_solution_repair_qp(seg_batch):
+    """qp.select_solution(repair_sweeps=N) lowers (or equals) the
+    reported energy and returns a consistent (sol, energy) pair."""
+    prob = seg_batch
+    state = qp.solve(prob, SEG_CONFIG, max_iters=60, window=20)
+    sol_a, e_a = qp.select_solution(state, prob)
+    sol_b, e_b = qp.select_solution(state, prob, repair_sweeps=8)
+    assert np.all(np.asarray(e_b) <= np.asarray(e_a) + 1e-4)
+    ax = prob.stencil.a_matvec(sol_b)
+    e_chk = (jnp.sum(sol_b * ax, axis=(-2, -1))
+             + jnp.sum(prob.b * sol_b, axis=(-2, -1)) + prob.const)
+    np.testing.assert_allclose(np.asarray(e_chk), np.asarray(e_b),
+                               rtol=1e-5, atol=1e-3)
