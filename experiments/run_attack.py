@@ -50,6 +50,10 @@ def parse_args():
     p.add_argument("-result_dir", default="result")
     p.add_argument("-dump_xiter", action="store_true",
                    help="record G trajectories for policy training")
+    p.add_argument("-repair", type=int, default=1,
+                   help="1 = L0 cardinality repair on the final mask "
+                        "(attack.cardinality_repair; never degrades "
+                        "success), 0 = reference reporting semantics")
     p.add_argument("-weight_type", default="none",
                    choices=["none", "gradient", "variance",
                             "variance_mean", "contrast",
@@ -129,7 +133,8 @@ def main():
         res = attack.attack_with_search(
             model, variables, jnp.asarray(imgs), jnp.asarray(targets),
             jnp.asarray(Bm), jnp.asarray(nw), cfg, use_l2f=use_l2f,
-            policy_model=pm, policy_variables=pv, pcfg=pcfg, log=print)
+            policy_model=pm, policy_variables=pv, pcfg=pcfg,
+            repair=bool(args.repair), log=print)
         wall = time.time() - t0
         tag = args.net if use_l2f else "ori"
         csv = os.path.join(args.result_dir, f"all_{tag}.csv")

@@ -269,15 +269,56 @@ def compute_statistics(images, epsilon, G, noise_weight,
     }
 
 
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def cardinality_repair(model, variables, images, target, epsilon,
+                       G: jnp.ndarray, noise_weight, cfg: AttackConfig,
+                       lambda1: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Enforce the L0 budget ``k`` on attacks whose thresholded mask
+    overshot it.
+
+    The cardinality constraint ``sum(G) <= k`` is only dual-enforced
+    (scalar z4, generate_data.py:721), so the final binary mask can
+    exceed k -- the reference reports the overshoot as-is
+    (main_mha.py:190-196).  Repair: keep the k active entries with the
+    largest perturbation energy ``|epsilon|``, re-finetune epsilon on
+    the reduced mask, and accept per image only where the attack STILL
+    succeeds -- success never degrades, L0 never increases.  A strict
+    quality addition of the TPU framework (cf. ops/repair.py for the
+    LP/QP analogues).
+    """
+    B = G.shape[0]
+    flat_g = G.reshape(B, -1)
+    mag = (jnp.abs(epsilon) * G).reshape(B, -1)
+    l0 = jnp.sum(flat_g > 0.5, axis=-1)
+
+    _, idx = jax.lax.top_k(mag, cfg.k)
+    keep = jnp.zeros_like(mag).at[
+        jnp.arange(B)[:, None], idx].set(1.0)
+    keep = keep * (mag > 0)            # never activate new entries
+    G2 = keep.reshape(G.shape).astype(G.dtype)
+
+    eps2 = update_epsilon(model, variables, images, target, epsilon,
+                          G2, noise_weight, cfg, finetune=True,
+                          lambda1=lambda1)
+    pred2, _ = predictions(model, variables, images, eps2, G2, cfg)
+    accept = (pred2 == target) & (l0 > cfg.k)
+    acc = accept[:, None, None, None]
+    return jnp.where(acc, G2, G), jnp.where(acc, eps2, epsilon)
+
+
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "pcfg",
-                                             "policy_model", "use_l2f"))
+                                             "policy_model", "use_l2f",
+                                             "repair"))
 def attack_single(model, variables, images, target, Bmask, noise_weight,
                   cfg: AttackConfig, lambda1: jnp.ndarray,
                   use_l2f: bool = False, policy_model=None,
                   policy_variables=None,
-                  pcfg: Optional[PolicyConfig] = None) -> Dict[str, Any]:
+                  pcfg: Optional[PolicyConfig] = None,
+                  repair: bool = False) -> Dict[str, Any]:
     """One eps/G alternation + final threshold + eps finetune
-    (train_sgd_atom, generate_data.py:251-307).  Batched over images."""
+    (train_sgd_atom, generate_data.py:251-307).  Batched over images.
+    ``repair=True`` appends the L0 cardinality repair."""
     G = jnp.ones_like(images)
     epsilon = jnp.zeros_like(images)
 
@@ -297,6 +338,11 @@ def attack_single(model, variables, images, target, Bmask, noise_weight,
     epsilon = update_epsilon(model, variables, images, target, epsilon, G,
                              noise_weight, cfg, finetune=True,
                              lambda1=lambda1)
+    if repair:
+        G, epsilon = cardinality_repair(model, variables, images,
+                                        target, epsilon, G,
+                                        noise_weight, cfg,
+                                        lambda1=lambda1)
 
     pred, adv = predictions(model, variables, images, epsilon, G, cfg)
     stats = compute_statistics(images, epsilon, G, noise_weight, cfg)
@@ -313,6 +359,7 @@ def attack_with_search(model, variables, images, target, Bmask,
                        use_l2f: bool = False, policy_model=None,
                        policy_variables=None,
                        pcfg: Optional[PolicyConfig] = None,
+                       repair: bool = False,
                        log=None) -> Dict[str, Any]:
     """Per-image lambda1 binary search (train_adptive,
     main_mha.py:206-248), vectorized: each image carries its own
@@ -329,7 +376,8 @@ def attack_with_search(model, variables, images, target, Bmask,
         res = attack_single(model, variables, images, target, Bmask,
                             noise_weight, cfg, jnp.asarray(lam),
                             use_l2f=use_l2f, policy_model=policy_model,
-                            policy_variables=policy_variables, pcfg=pcfg)
+                            policy_variables=policy_variables, pcfg=pcfg,
+                            repair=repair)
         res = {k: np.asarray(v) for k, v in res.items()}
         res["lambda1"] = lam.copy()
         success = res["success"]

@@ -49,6 +49,8 @@ def main():
     if "ladder" in phases:
         run("scripts/bench_ladder.py",
             ["--rungs", "200x1000,300x1500,800x4000"], "ladder")
+    if "ablate" in phases:
+        run("scripts/ablate_lp.py", ["--repeats", "2"], "ablate")
     if "seg1e5" in phases:
         run("experiments/run_seg.py",
             ["-phase", "test", "-num_nodes", "100000",

@@ -214,3 +214,52 @@ def test_compute_sensitive_types():
         pass
     with pytest.raises(ValueError):
         attack.compute_sensitive(img, "bogus")
+
+
+def test_cardinality_repair(small_attack_setup):
+    """L0 repair on the linear victim: when the mask overshoots the
+    budget and the attack still succeeds on the reduced mask, the
+    repaired mask has L0 <= k; success never degrades, and no new
+    entries activate."""
+    import flax.linen as nn
+
+    class LinearNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(10)(x.reshape(x.shape[0], -1))
+
+    _, _, imgs, targets, _, nw = small_attack_setup
+    model = LinearNet()
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 3, 32, 32)))
+    cfg = ATTACK_CONFIG.replace(maxIter_e=400, k=50)
+    rng = np.random.RandomState(7)
+    # an overshooting mask: 120 active entries, strong epsilon
+    G = np.zeros((2, 3 * 32 * 32), np.float32)
+    for i in range(2):
+        G[i, rng.choice(3 * 32 * 32, 120, replace=False)] = 1.0
+    G = jnp.asarray(G.reshape(imgs.shape))
+    eps = jnp.asarray(rng.randn(*imgs.shape).astype(np.float32)) * G
+    eps = attack.update_epsilon(model, variables, jnp.asarray(imgs),
+                                jnp.asarray(targets), eps, G,
+                                jnp.asarray(nw), cfg, finetune=True)
+    pred0, _ = attack.predictions(model, variables, jnp.asarray(imgs),
+                                  eps, G, cfg)
+    G2, eps2 = attack.cardinality_repair(
+        model, variables, jnp.asarray(imgs), jnp.asarray(targets),
+        eps, G, jnp.asarray(nw), cfg)
+    l0_0 = np.asarray(G.reshape(2, -1).sum(-1))
+    l0_2 = np.asarray(G2.reshape(2, -1).sum(-1))
+    pred2, _ = attack.predictions(model, variables, jnp.asarray(imgs),
+                                  eps2, G2, cfg)
+    succ0 = np.asarray(pred0) == targets
+    succ2 = np.asarray(pred2) == targets
+    # never degrades L0 or success
+    assert np.all(l0_2 <= l0_0)
+    assert np.all(succ2 >= succ0)
+    # repaired images meet the budget; unrepaired kept the original mask
+    repaired = l0_2 < l0_0
+    assert np.all(l0_2[repaired] <= cfg.k)
+    assert np.all(l0_2[~repaired] == l0_0[~repaired])
+    # no new entries activated
+    assert np.all((np.asarray(G2) <= np.asarray(G)))
