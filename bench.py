@@ -315,9 +315,10 @@ def main():
     xla_ips, objs, _ = run_solver(
         "xla", lambda p: lp.solve(p, cfg, window=100), prob, base)
     fused_ips = 0.0
-    # bt=8 twice: the axon remote Mosaic compile helper fails
+    # bt=2 first (114 vs 101 inst/s at bt=8, r2 ablation table); each
+    # size retried once: the axon remote Mosaic compile helper fails
     # transiently on big kernel bodies (STATUS.md hazards)
-    for bt in (8, 8, 4, 2):
+    for bt in (2, 2, 8, 4):
         try:
             fused_ips, fobjs, _ = run_solver(
                 f"pallas-fused(bt={bt})",

@@ -137,8 +137,10 @@ def main():
         "xla-noincumbent": plain(base.replace(feasible_incumbent=False)),
         "xla-stride1": plain(base.replace(incumbent_stride=1)),
         "xla-bf16": plain(base.replace(matvec_dtype="bfloat16")),
+        # window=500: each host round-trip over the remote tunnel costs
+        # ~ms; short windows make dispatch latency dominate
         "blocked": lambda p: lp.solve_blocked(p, base, block=8,
-                                              window=W)[0],
+                                              window=500)[0],
         "fused": lambda p: pallas_lp.solve_fused(
             p, base, window=W, bt=8, interpret=args.quick),
         "fused-bt2": lambda p: pallas_lp.solve_fused(

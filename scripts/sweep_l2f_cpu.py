@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--conf", type=float, default=0.98)
     ap.add_argument("--fix-windows", type=int, default=2)
     ap.add_argument("--policy-windows", type=int, default=3)
+    ap.add_argument("--checkpoint", default=None,
+                    help="policy checkpoint (default: shipped ca500_mha)")
+    ap.add_argument("--repair", type=int, default=0,
+                    help="greedy-repair rounds applied to BOTH sides")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -48,16 +52,20 @@ def main():
     cfg = LP_CONFIG.replace(linsolve="woodbury")
     print(f"backend={jax.default_backend()} B={B}", flush=True)
 
+    import functools
+
     t0 = time.time()
     st = pallas_lp.solve_fused(prob, cfg, window=100, bt=8)
-    _, plain_objs, _ = jax.jit(lp.select_solution)(
+    _, plain_objs, _ = jax.jit(functools.partial(
+        lp.select_solution, repair_rounds=args.repair))(
         prob, lp.solution(st), lp.solution_best(st))
     plain_objs = np.asarray(plain_objs)
     print(f"plain oracle: mean={plain_objs.mean():.1f} "
           f"({time.time()-t0:.0f}s)", flush=True)
 
-    ckpt = os.path.join(ROOT, "checkpoints", "ca500_mha", "checkpoint",
-                        "best_checkpoint.npz")
+    ckpt = args.checkpoint or os.path.join(
+        ROOT, "checkpoints", "ca500_mha", "checkpoint",
+        "best_checkpoint.npz")
     model = build_policy("mha")
     pcfg = PolicyConfig(net="mha", fix_confidence=args.conf,
                         fix_windows=args.fix_windows)
@@ -74,7 +82,8 @@ def main():
         _, out = l2f.l2f_solve_compact(
             prob, model, variables, c, pcfg, ws=100,
             policy_windows=args.policy_windows, use_fused=True,
-            rho_boost_iters=K, max_iter=cap, timings=tm)
+            rho_boost_iters=K, max_iter=cap,
+            repair_rounds=args.repair, timings=tm)
         objs = np.asarray(out["obj"])
         gap = (objs - plain_objs) / np.abs(plain_objs)
         infeas = np.asarray(out["infeasible"])
