@@ -689,7 +689,8 @@ def solution_best(state: LpState) -> jnp.ndarray:
 
 
 def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
-                    sol_best: jnp.ndarray, repair_rounds: int = 0):
+                    sol_best: jnp.ndarray, repair_rounds: int = 0,
+                    swap_rounds: int = 0):
     """Pick, per instance, between the final rounding and the best
     feasible incumbent rounding (both full-width, original indices).
 
@@ -702,8 +703,10 @@ def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
     ``repair_rounds > 0`` additionally polishes the selected solution
     with the greedy set-packing refill (ops/repair.greedy_repair):
     flips in up-to-that-many still-fitting bids, never degrading the
-    objective or feasibility.  Keep it equal on both sides of any
-    gap comparison (reporting semantics must match).
+    objective or feasibility.  ``swap_rounds > 0`` follows with 1-for-1
+    swap rounds (ops/repair.swap_repair) that can also remove a
+    blocking bid for a better one.  Keep both equal on both sides of
+    any gap comparison (reporting semantics must match).
     """
     sols = jnp.stack([sol_last, sol_best], axis=1)          # (B, 2, n)
     ex = jnp.einsum("bmn,bkn->bkm", prob.E, sols,
@@ -718,9 +721,12 @@ def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
     sol = jnp.take_along_axis(sols, k[:, None, None], axis=1)[:, 0]
     obj_sel = jnp.take_along_axis(obj, k[:, None], axis=1)[:, 0]
     inf_sel = jnp.take_along_axis(infeas, k[:, None], axis=1)[:, 0]
-    if repair_rounds:
-        from ..ops.repair import greedy_repair
-        sol = greedy_repair(prob, sol, rounds=repair_rounds)
+    if repair_rounds or swap_rounds:
+        from ..ops.repair import greedy_repair, swap_repair
+        if repair_rounds:
+            sol = greedy_repair(prob, sol, rounds=repair_rounds)
+        if swap_rounds:
+            sol = swap_repair(prob, sol, rounds=swap_rounds)
         obj_sel = jnp.einsum("bn,bn->b", prob.b, sol,
                              preferred_element_type=jnp.float32,
                              precision=HI)

@@ -107,3 +107,83 @@ def greedy_repair(prob, sol: jnp.ndarray, rounds: int = 16
 
     (sol, _), _ = jax.lax.scan(body, (sol, slack0), None, length=rounds)
     return sol
+
+
+def swap_repair(prob, sol: jnp.ndarray, rounds: int = 8,
+                refill_rounds: int = 4) -> jnp.ndarray:
+    """1-for-1 swap polish for set-packing roundings.
+
+    :func:`greedy_repair` can only flip bids IN; a wrongly-selected bid
+    (e.g. a locked-in wrong early fix) that blocks a better bid is out
+    of its reach.  Each swap round finds, per instance, the best pair
+    (i selected, j unselected) with ``b_j < b_i`` such that every row
+    that blocks j is occupied exactly by i — computable in one
+    O(B m n) pass for capacity-1 rows (CA: 0/1 E, f = 1) via a row
+    "occupier id" — applies the swap, then refills freed capacity.
+
+    Acceptance is gated on an EXACT feasibility re-check of the swapped
+    solution (one slack update with the two involved columns), so the
+    pass is safe for any (E, f): if the set-packing structure
+    assumption does not hold, candidate swaps are simply rejected.
+    Objective and feasibility never degrade.
+    """
+    b, E, f = prob.b, prob.E, prob.f
+    row_mask, var_mask = prob.row_mask, prob.var_mask
+    B, m, n = E.shape
+    narange = jnp.arange(n)
+
+    def slack_of(s):
+        return f - jnp.einsum("bmn,bn->bm", E, s,
+                              preferred_element_type=jnp.float32)
+
+    feas0 = jnp.all((slack_of(sol) >= -_TOL) | ~row_mask, axis=-1)
+
+    def swap_round(sol, _):
+        slack = slack_of(sol)
+        sel = sol > 0.5
+        # occupier id per row: the single selected bid covering it
+        # (capacity-1 rows have at most one; ties/overflow are caught
+        # by the exact feasibility gate below)
+        cover = E * sel[:, None, :]                         # (B, m, n)
+        occ_id = jnp.argmax(cover, axis=-1)                 # (B, m)
+        occupied = jnp.max(cover, axis=-1) > 0.5
+        # rows that block candidate j: E[:, r, j] > slack[r]
+        blocks = (E > slack[:, :, None] + _TOL) & row_mask[:, :, None]
+        # j is swappable against a SINGLE i iff all blocking rows are
+        # occupied and share one occupier
+        blocked_occ = blocks & occupied[:, :, None]
+        all_occ = jnp.all(~blocks | occupied[:, :, None], axis=1)
+        big = jnp.int32(n + 1)
+        occ_or_big = jnp.where(blocked_occ, occ_id[:, :, None], big)
+        occ_or_small = jnp.where(blocked_occ, occ_id[:, :, None], -1)
+        i_min = jnp.min(occ_or_big, axis=1)                 # (B, n)
+        i_max = jnp.max(occ_or_small, axis=1)
+        has_block = jnp.any(blocked_occ, axis=1)
+        single = all_occ & has_block & (i_min == i_max)
+        i_idx = jnp.clip(i_min, 0, n - 1)
+        b_i = jnp.take_along_axis(b, i_idx, axis=-1)        # (B, n)
+        gain = jnp.where(single & ~sel & var_mask & feas0[:, None],
+                         b - b_i, 0.0)                      # b_j - b_i
+        j = jnp.argmin(gain, axis=-1)                       # (B,)
+        g = jnp.take_along_axis(gain, j[:, None], axis=-1)[:, 0]
+        i = jnp.take_along_axis(i_idx, j[:, None], axis=-1)[:, 0]
+        # exact post-swap feasibility: slack + E[:,i] - E[:,j]
+        ecol_i = jnp.take_along_axis(E, i[:, None, None], axis=2)[:, :, 0]
+        ecol_j = jnp.take_along_axis(E, j[:, None, None], axis=2)[:, :, 0]
+        new_slack = slack + ecol_i - ecol_j
+        ok = (g < -_TOL) & jnp.all((new_slack >= -_TOL) | ~row_mask,
+                                   axis=-1)
+        out = jnp.where((narange[None, :] == i[:, None]) & ok[:, None],
+                        0.0, sol)
+        out = jnp.where((narange[None, :] == j[:, None]) & ok[:, None],
+                        1.0, out)
+        return out, None
+
+    def body(sol, _):
+        sol, _ = swap_round(sol, None)
+        if refill_rounds:
+            sol = greedy_repair(prob, sol, rounds=refill_rounds)
+        return sol, None
+
+    sol, _ = jax.lax.scan(body, sol, None, length=rounds)
+    return sol

@@ -257,9 +257,10 @@ def _residual_phase_xla(state, prob, cfg, ws, max_iter):
     return jax.lax.while_loop(cond, body, state)
 
 
-@functools.partial(jax.jit, static_argnames=("repair_rounds",))
+@functools.partial(jax.jit, static_argnames=("repair_rounds",
+                                             "swap_rounds"))
 def _finalize(state, idx_map, fixed_full, free_full, orig_prob,
-              repair_rounds=0):
+              repair_rounds=0, swap_rounds=0):
     """Scatter the last rounding AND the best feasible incumbent back to
     original indices, then pick per instance (core.lp.select_solution),
     optionally polishing with the greedy refill (ops/repair)."""
@@ -268,16 +269,18 @@ def _finalize(state, idx_map, fixed_full, free_full, orig_prob,
     sol_best = lp.scatter_solution(state_b, idx_map, fixed_full,
                                    free_full)
     sol, obj, infeas = lp.select_solution(orig_prob, sol_last, sol_best,
-                                          repair_rounds=repair_rounds)
+                                          repair_rounds=repair_rounds,
+                                          swap_rounds=swap_rounds)
     n_fixed = jnp.sum(~free_full & orig_prob.var_mask, axis=-1)
     return sol, obj, infeas, n_fixed
 
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "n_new", "m_new", "rho_boost", "max_iter", "ws", "bt",
-    "fused", "interpret", "repair_rounds"))
+    "fused", "interpret", "repair_rounds", "swap_rounds"))
 def _tail_phase(state, orig_prob, cfg, n_new, m_new, rho_boost,
-                max_iter, ws, bt, fused, interpret, repair_rounds=0):
+                max_iter, ws, bt, fused, interpret, repair_rounds=0,
+                swap_rounds=0):
     """Everything after the policy-phase fetch in ONE executable:
     compaction, rho fast-forward, n-side factorization, residual solve
     (fused kernel or XLA windows) and scatter + incumbent selection.
@@ -319,7 +322,8 @@ def _tail_phase(state, orig_prob, cfg, n_new, m_new, rho_boost,
         state = _residual_phase_xla(state, prob, cfg, ws, max_iter)
     sol, obj, infeas, n_fixed = _finalize(state, idx_map, fixed_full,
                                           free_full, orig_prob,
-                                          repair_rounds=repair_rounds)
+                                          repair_rounds=repair_rounds,
+                                          swap_rounds=swap_rounds)
     return state, sol, obj, lp.objective(state), infeas, n_fixed
 
 
@@ -333,6 +337,7 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       interpret: Optional[bool] = None,
                       scorer: Optional[str] = None,
                       repair_rounds: int = 0,
+                      swap_rounds: int = 0,
                       timings: Optional[dict] = None):
     """LP l2f solve with bucketed physical compaction.
 
@@ -444,7 +449,8 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
             state, sol_full, obj, obj_last, infeas, n_fixed = \
                 _tail_phase(state0, prob, cfg, n_b, m_b,
                             rho_boost_iters, max_iter, ws, bt, fused,
-                            interpret, repair_rounds=repair_rounds)
+                            interpret, repair_rounds=repair_rounds,
+                            swap_rounds=swap_rounds)
             if timings is not None:
                 timings["residual_path"] = (
                     f"fused(bt={bt},nside={nside})" if fused else "xla")

@@ -33,6 +33,8 @@ def main():
                     help="policy checkpoint (default: shipped ca500_mha)")
     ap.add_argument("--repair", type=int, default=0,
                     help="greedy-repair rounds applied to BOTH sides")
+    ap.add_argument("--swap", type=int, default=0,
+                    help="1-for-1 swap-repair rounds, both sides")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -57,7 +59,8 @@ def main():
     t0 = time.time()
     st = pallas_lp.solve_fused(prob, cfg, window=100, bt=8)
     _, plain_objs, _ = jax.jit(functools.partial(
-        lp.select_solution, repair_rounds=args.repair))(
+        lp.select_solution, repair_rounds=args.repair,
+        swap_rounds=args.swap))(
         prob, lp.solution(st), lp.solution_best(st))
     plain_objs = np.asarray(plain_objs)
     print(f"plain oracle: mean={plain_objs.mean():.1f} "
@@ -83,7 +86,8 @@ def main():
             prob, model, variables, c, pcfg, ws=100,
             policy_windows=args.policy_windows, use_fused=True,
             rho_boost_iters=K, max_iter=cap,
-            repair_rounds=args.repair, timings=tm)
+            repair_rounds=args.repair, swap_rounds=args.swap,
+            timings=tm)
         objs = np.asarray(out["obj"])
         gap = (objs - plain_objs) / np.abs(plain_objs)
         infeas = np.asarray(out["infeasible"])

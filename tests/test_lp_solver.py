@@ -312,3 +312,46 @@ def test_bf16_matvec_quality(small_batch):
                    sol.astype(np.float64))
     viol = (ex > np.asarray(prob.f) + 1e-6) & np.asarray(prob.row_mask)
     np.testing.assert_array_equal(viol.sum(axis=-1), 0)
+
+
+def test_swap_repair():
+    """1-for-1 swap removes a blocking bid for a better one and refills;
+    exact feasibility gating rejects unsafe swaps."""
+    from lpbox_admm_tpu.core.problem import LpProblem
+    from lpbox_admm_tpu.ops.repair import swap_repair
+
+    # rows capacity 1; bid0 (sel, -5) blocks bid1 (-10); bid2 (-3) fits
+    E = jnp.asarray([[[1, 1, 0], [0, 0, 1.0]]])
+    prob = LpProblem(b=jnp.asarray([[-5.0, -10.0, -3.0]]), E=E,
+                     f=jnp.asarray([[1.0, 1.0]]),
+                     row_mask=jnp.ones((1, 2), bool),
+                     var_mask=jnp.ones((1, 3), bool))
+    sol = jnp.asarray([[1.0, 0.0, 0.0]])
+    out = np.asarray(swap_repair(prob, sol, rounds=2, refill_rounds=2))
+    np.testing.assert_allclose(out, [[0.0, 1.0, 1.0]])
+
+    # no profitable swap -> unchanged
+    sol_opt = jnp.asarray([[0.0, 1.0, 1.0]])
+    out2 = np.asarray(swap_repair(prob, sol_opt, rounds=2,
+                                  refill_rounds=0))
+    np.testing.assert_allclose(out2, np.asarray(sol_opt))
+
+
+def test_swap_repair_never_degrades(small_batch):
+    """On real CA instances the swap pass never worsens objective or
+    feasibility, and composes with the refill in select_solution."""
+    import functools
+
+    import jax
+
+    _, prob = small_batch
+    cfg = LP_CONFIG.replace(linsolve="woodbury", max_iters=3000)
+    st = lp.solve(prob, cfg, window=100)
+    base = jax.jit(functools.partial(lp.select_solution,
+                                     repair_rounds=16))(
+        prob, lp.solution(st), lp.solution_best(st))
+    swp = jax.jit(functools.partial(lp.select_solution,
+                                    repair_rounds=16, swap_rounds=8))(
+        prob, lp.solution(st), lp.solution_best(st))
+    assert np.all(np.asarray(swp[1]) <= np.asarray(base[1]) + 1e-4)
+    assert np.all(np.asarray(swp[2]) <= np.asarray(base[2]))
