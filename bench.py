@@ -37,8 +37,10 @@ SEED = 2207
 # per solve (negligible vs 1e4 iterations).
 REPAIR_ROUNDS = 16
 # 1-for-1 swap rounds after the refill (ops/repair.swap_repair): frees
-# wrongly-fixed blocking bids; 64-inst CPU sweep mean gap -0.6% -> -1.2%
-SWAP_ROUNDS = 8
+# wrongly-fixed blocking bids; 64-inst CPU sweep mean gap -0.6% -> -1.2%.
+# 4 rounds (x2 refill each) are quality-identical to 8x4 on the sweep
+# (scripts/sweep_repair.py) at ~30% of the passes.
+SWAP_ROUNDS = 4
 
 
 def log(*a):

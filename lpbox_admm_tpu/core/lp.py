@@ -542,19 +542,28 @@ def solve_blocked(prob: LpProblem, cfg: SolverConfig, block: int = 8,
         return s
 
     jinit = jax.jit(init_state, static_argnames=("cfg",))
-    states, iters = [], []
-    for lo in range(0, B, block):
-        p = jax.tree_util.tree_map(lambda a: a[lo:lo + block], prob)
-        s = jinit(p, cfg)
-        first = True
-        while True:
-            s = win(s, p, cfg, window, 0 if first else None)
-            first = False
-            it, done = jax.device_get((s.it, jnp.all(s.done)))
+    probs = [jax.tree_util.tree_map(lambda a: a[lo:lo + block], prob)
+             for lo in range(0, B, block)]
+    states = [jinit(p, cfg) for p in probs]
+    iters = [0] * len(probs)
+    live = set(range(len(probs)))
+    first = True
+    while live:
+        # Queue one window for EVERY live block before syncing: JAX
+        # dispatch is async, so the per-dispatch tunnel latency of the
+        # axon remote executor is paid once per ROUND, not once per
+        # block (the sequential-block version spent ~half the mid-rung
+        # wall on host round-trips).
+        for k in sorted(live):
+            states[k] = win(states[k], probs[k], cfg, window,
+                            0 if first else None)
+        first = False
+        flags = jax.device_get([(states[k].it, jnp.all(states[k].done))
+                                for k in sorted(live)])
+        for k, (it, done) in zip(sorted(live), flags):
+            iters[k] = int(it)
             if bool(done) or int(it) >= max_iters:
-                break
-        states.append(s)
-        iters.append(int(it))
+                live.discard(k)
     merged = jax.tree_util.tree_map(
         lambda *xs: (jnp.max(jnp.stack(xs)) if xs[0].ndim == 0
                      else jnp.concatenate(xs, axis=0)), *states)

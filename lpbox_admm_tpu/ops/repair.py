@@ -110,7 +110,7 @@ def greedy_repair(prob, sol: jnp.ndarray, rounds: int = 16
 
 
 def swap_repair(prob, sol: jnp.ndarray, rounds: int = 8,
-                refill_rounds: int = 4) -> jnp.ndarray:
+                refill_rounds: int = 2) -> jnp.ndarray:
     """1-for-1 swap polish for set-packing roundings.
 
     :func:`greedy_repair` can only flip bids IN; a wrongly-selected bid
