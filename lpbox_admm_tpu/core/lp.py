@@ -570,6 +570,56 @@ def solve_blocked(prob: LpProblem, cfg: SolverConfig, block: int = 8,
     return merged, iters
 
 
+def solve_auto(prob: LpProblem, cfg: SolverConfig,
+               max_iters: Optional[int] = None,
+               bf16_iter_cap: int = 12000,
+               bf16_bytes_min: int = 2 * 1024 * 1024,
+               blocked_bytes_min: int = 1024 * 1024,
+               ) -> Tuple[LpState, str]:
+    """Plain solve through the measured-best path for the problem shape.
+
+    Dispatch rule (TPU v5e ladder measurements, STATUS.md):
+
+    - per-instance VMEM footprint admits an instance block of >= 2
+      -> fused Pallas window kernel (``ops/pallas_lp.solve_fused``,
+      in-kernel all-done early exit; bt=2 measured best at both the
+      (100,500) and (200,1000) rungs);
+    - per-instance E over ``blocked_bytes_min`` -> host round-robin
+      blocked solve (per-block early exit, one sync per round), with
+      bf16 constraint storage + 3-limb split once E exceeds
+      ``bf16_bytes_min`` (HBM-bandwidth-bound regime; iteration-capped
+      at ``bf16_iter_cap`` -- the bf16 trajectory rarely satisfies the
+      strict 1e-4 dual stop, incumbent selection carries quality);
+    - otherwise the single ``while_loop`` solve.
+
+    Returns ``(state, path)`` where ``path`` names the dispatch taken.
+    The fused kernel is TPU-only (interpret mode on CPU is test-speed);
+    on non-TPU backends the XLA paths are used.
+    """
+    from ..ops import pallas_lp
+    if max_iters is None:
+        max_iters = cfg.max_iters
+    B, m, n = prob.batch, prob.m, prob.n
+    e_bytes = 4 * m * n
+    on_tpu = jax.default_backend() not in ("cpu",)
+    bt = pallas_lp.auto_bt(B, m, n)
+    if on_tpu and bt >= 2:
+        st = pallas_lp.solve_fused(prob, cfg, max_iters=max_iters,
+                                   window=100, bt=min(bt, 2))
+        return st, f"fused(bt={min(bt, 2)})"
+    if e_bytes >= blocked_bytes_min and B >= 8 and B % 8 == 0:
+        cfg_b = cfg
+        cap = max_iters
+        if e_bytes >= bf16_bytes_min:
+            cfg_b = cfg.replace(matvec_dtype="bfloat16")
+            cap = min(max_iters, bf16_iter_cap)
+        st, _ = solve_blocked(prob, cfg_b, block=8, window=500,
+                              max_iters=cap)
+        tag = "-bf16" if cfg_b is not cfg else ""
+        return st, f"blocked{tag}"
+    return solve(prob, cfg, max_iters=max_iters), "xla"
+
+
 def compact(state: LpState, prob: LpProblem, cfg: SolverConfig,
             n_new: int, m_new: Optional[int] = None
             ) -> Tuple[LpState, LpProblem, jnp.ndarray]:

@@ -192,6 +192,12 @@ def main():
                 (f"xla-{s}",
                  lambda p, c=cfg_b, bk=blk, mi=cap: lp.solve_blocked(
                      p, c, block=bk, window=500, max_iters=mi)[0]))
+        if "auto" in solvers:
+            # the user-facing dispatch (core/lp.solve_auto): fused
+            # when the VMEM budget admits bt>=2, blocked-bf16 in the
+            # HBM-bound regime, plain while_loop otherwise
+            runs.append(("auto", lambda p: lp.solve_auto(
+                p, LP_CONFIG.replace(linsolve="woodbury"))[0]))
         bt = pallas_lp.auto_bt(B, m, n)
         if "fused" in solvers and bt > 0:
             runs.append((f"pallas-fused(bt={bt})",

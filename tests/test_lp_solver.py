@@ -355,3 +355,28 @@ def test_swap_repair_never_degrades(small_batch):
         prob, lp.solution(st), lp.solution_best(st))
     assert np.all(np.asarray(swp[1]) <= np.asarray(base[1]) + 1e-4)
     assert np.all(np.asarray(swp[2]) <= np.asarray(base[2]))
+
+
+def test_solve_auto_dispatch(small_batch):
+    """solve_auto picks a path by shape and returns a converged state
+    equivalent in quality to the direct solve."""
+    _, prob = small_batch
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    ref = lp.solve(prob, cfg, max_iters=20000, window=50)
+    # small problem on CPU -> plain while_loop path
+    st, path = lp.solve_auto(prob, cfg)
+    assert path == "xla"
+    np.testing.assert_allclose(np.asarray(lp.objective_best(st)),
+                               np.asarray(lp.objective_best(ref)),
+                               rtol=1e-6)
+    # force the blocked dispatch (threshold 0) -- B=2 < 8 keeps it on
+    # the plain path, so widen the batch by tiling
+    import jax
+    probw = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a] * 4, axis=0), prob)
+    st2, path2 = lp.solve_auto(probw, cfg, blocked_bytes_min=0,
+                               bf16_bytes_min=1 << 40)
+    assert path2 == "blocked"
+    np.testing.assert_allclose(
+        np.asarray(lp.objective_best(st2))[:prob.batch],
+        np.asarray(lp.objective_best(ref)), rtol=1e-6)
