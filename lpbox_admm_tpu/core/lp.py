@@ -607,6 +607,15 @@ def solve_auto(prob: LpProblem, cfg: SolverConfig,
         st = pallas_lp.solve_fused(prob, cfg, max_iters=max_iters,
                                    window=100, bt=min(bt, 2))
         return st, f"fused(bt={min(bt, 2)})"
+    # f32 E does not admit bt=2, but the kernel's bf16 E storage
+    # (exact for 0/1 constraint matrices) might: prefer the
+    # VMEM-resident kernel over HBM streaming when it does
+    bt16 = pallas_lp.auto_bt(B, m, n, e_bytes=2)
+    if on_tpu and bt16 >= 2 and jnp.all((prob.E == 0) | (prob.E == 1)):
+        st = pallas_lp.solve_fused(
+            prob, cfg.replace(matvec_dtype="bfloat16"),
+            max_iters=max_iters, window=100, bt=2)
+        return st, "fused-bf16(bt=2)"
     if e_bytes >= blocked_bytes_min and B >= 8 and B % 8 == 0:
         cfg_b = cfg
         cap = max_iters

@@ -46,7 +46,8 @@ _EPS = 2.2204e-16
 
 
 def auto_bt(B: int, m: int, n: int, extra_per_inst: int = 0,
-            budget: int = 12 * 1024 * 1024, nside: bool = False) -> int:
+            budget: int = 12 * 1024 * 1024, nside: bool = False,
+            e_bytes: int = 4) -> int:
     """Largest power-of-two instance block that (a) divides B and (b)
     keeps the per-grid-cell VMEM footprint under ``budget``.
 
@@ -64,7 +65,8 @@ def auto_bt(B: int, m: int, n: int, extra_per_inst: int = 0,
     layout (unit sublane dim) in ``lp_window_fused``.
     """
     mats = 2 * n * n if nside else m * m
-    per = 4 * (m * n + mats + 10 * n + 8 * m + extra_per_inst)
+    per = e_bytes * m * n \
+        + 4 * (mats + 10 * n + 8 * m + extra_per_inst)
     overhead = 3 * 1024 * 1024
     bt, c = 0, 1
     while c <= B and B % c == 0 and per * c + overhead <= budget:
@@ -107,6 +109,14 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
     def st(ref, v):
         ref[...] = v.reshape(ref.shape)
 
+    def _f32(a):
+        # E may be stored bfloat16 in VMEM (halves its footprint so an
+        # instance block of 2 fits the mid ladder rungs); its 0/1
+        # entries upcast exactly, so the f32 VPU math is bit-identical
+        # to f32 storage -- no limb split needed (unlike the XLA dot
+        # path, core/lp._emv, where the VECTOR operand must be bf16).
+        return a.astype(jnp.float32) if a.dtype != jnp.float32 else a
+
     def bmv(mref, v, sref):
         # out[i] = M[i, :] @ v per instance: (bt, I, J) x (bt, J) ->
         # (bt, I).  When ``chunk``, slice the VMEM-resident matrix ref
@@ -115,10 +125,10 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
         # (bt, I, J) -- the Mosaic stack is the VMEM budget killer.
         I = mref.shape[1]
         if not chunk or I <= 128 or I % 128:
-            return jnp.sum(mref[...] * v[:, None, :], axis=-1)
+            return jnp.sum(_f32(mref[...]) * v[:, None, :], axis=-1)
         for i0 in range(0, I, 128):
             sref[:, i0:i0 + 128] = jnp.sum(
-                mref[:, i0:i0 + 128, :] * v[:, None, :], axis=-1)
+                _f32(mref[:, i0:i0 + 128, :]) * v[:, None, :], axis=-1)
         return sref[:, :I]
 
     def bmv_t(mref, w, sref):
@@ -126,10 +136,10 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
         # over the output (lane) axis in 128-column slices
         J = mref.shape[2]
         if not chunk or J <= 128 or J % 128:
-            return jnp.sum(mref[...] * w[:, :, None], axis=1)
+            return jnp.sum(_f32(mref[...]) * w[:, :, None], axis=1)
         for j0 in range(0, J, 128):
             sref[:, j0:j0 + 128] = jnp.sum(
-                mref[:, :, j0:j0 + 128] * w[:, :, None], axis=1)
+                _f32(mref[:, :, j0:j0 + 128]) * w[:, :, None], axis=1)
         return sref[:, :J]
 
     b = ld(b_ref)
@@ -351,9 +361,11 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
     l2f residual problem); ``state.ginv`` is then unused.
     """
     assert cfg.linsolve == "woodbury"
-    # the fused kernel keeps E/G^{-1} VMEM-resident in f32; bf16
-    # storage (cfg.matvec_dtype) is an XLA-path bandwidth lever
-    assert cfg.matvec_dtype == "float32", cfg.matvec_dtype
+    # cfg.matvec_dtype == "bfloat16" stores the VMEM-resident E in
+    # bf16 (halving its footprint -> larger instance blocks fit the
+    # ladder rungs); exact for 0/1 constraint matrices (see _f32 in
+    # the kernel).  G^{-1}/H^{-1}/EtE always stay f32.
+    assert cfg.matvec_dtype in ("float32", "bfloat16"), cfg.matvec_dtype
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, m, n = prob.E.shape
@@ -435,8 +447,11 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         bs((n,)),     # best_sol
         pl.BlockSpec(memory_space=pltpu.SMEM),  # it (scalar)
     ]
+    E_op = prob.E
+    if cfg.matvec_dtype == "bfloat16":
+        E_op = E_op.astype(jnp.bfloat16)
     operands = [
-        prob.E, nfactor[0] if nside else state.ginv, vec(prob.b),
+        E_op, nfactor[0] if nside else state.ginv, vec(prob.b),
         vec(prob.var_mask.astype(jnp.float32)),
         vec(prob.row_mask.astype(jnp.float32)),
         vec(state.x), vec(state.z1), vec(state.z2), vec(state.z4),

@@ -198,6 +198,26 @@ def main():
             # HBM-bound regime, plain while_loop otherwise
             runs.append(("auto", lambda p: lp.solve_auto(
                 p, LP_CONFIG.replace(linsolve="woodbury"))[0]))
+        for s in solvers:
+            # fused-bf16[-bN]: bf16 E storage in the VMEM-resident
+            # kernel (bit-exact for 0/1 E; halves the footprint so
+            # larger instance blocks fit)
+            if not s.startswith("fused-bf16"):
+                continue
+            bt16 = pallas_lp.auto_bt(B, m, n, e_bytes=2)
+            for part in s.split("-")[2:]:
+                if part.startswith("b"):
+                    bt16 = int(part[1:])
+            if bt16 < 1:
+                print(f"{s}: no VMEM-resident block fits; skipped",
+                      flush=True)
+                continue
+            runs.append(
+                (f"pallas-{s}(bt={bt16})",
+                 lambda p, b16=bt16: pallas_lp.solve_fused(
+                     p, LP_CONFIG.replace(linsolve="woodbury",
+                                          matvec_dtype="bfloat16"),
+                     window=100, bt=b16)))
         bt = pallas_lp.auto_bt(B, m, n)
         if "fused" in solvers and bt > 0:
             runs.append((f"pallas-fused(bt={bt})",

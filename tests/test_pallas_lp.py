@@ -242,3 +242,26 @@ def test_fused_window_records_trajectory(prob):
     assert f_traj.shape == ref_traj.shape
     np.testing.assert_allclose(np.asarray(f_traj), np.asarray(ref_traj),
                                rtol=5e-2, atol=5e-3)
+
+
+def test_fused_bf16_storage_bit_exact(prob):
+    """bf16 E storage in the kernel is BIT-exact vs f32 storage: 0/1
+    entries upcast exactly and all arithmetic stays f32 (unlike the
+    XLA bf16 dot path which needs the 3-limb vector split)."""
+    state0 = lp.init_state(prob, CFG)
+    f32 = pallas_lp.lp_window_fused(state0, prob, CFG, 30, bt=2,
+                                    skip_cvg_at=0, interpret=True)
+    bf16 = pallas_lp.lp_window_fused(
+        state0, prob, CFG.replace(matvec_dtype="bfloat16"), 30, bt=2,
+        skip_cvg_at=0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bf16.x), np.asarray(f32.x))
+    np.testing.assert_array_equal(np.asarray(bf16.z4),
+                                  np.asarray(f32.z4))
+    np.testing.assert_array_equal(np.asarray(bf16.best_bin_obj),
+                                  np.asarray(f32.best_bin_obj))
+
+
+def test_auto_bt_bf16_admits_larger_blocks():
+    assert pallas_lp.auto_bt(64, 640, 1536, e_bytes=2) >= \
+        pallas_lp.auto_bt(64, 640, 1536)
+    assert pallas_lp.auto_bt(64, 640, 1536, e_bytes=2) >= 2
