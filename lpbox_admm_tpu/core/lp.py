@@ -73,9 +73,16 @@ class LpState(NamedTuple):
     # Carried across iterations so the y3 update re-uses the product the
     # previous dual step already computed (one fewer pass over E).
     ex: jnp.ndarray           # (B, m)
-    # Woodbury factors (zeros-shaped placeholders when linsolve == "cg")
+    # Woodbury factor (zeros-shaped placeholder when linsolve == "cg")
     ginv: jnp.ndarray         # (B, m, m) G^{-1}
-    eet: jnp.ndarray          # (B, m, m) E_f E_f^T
+    # Pre-computed E^T w for the NEXT iteration's rhs assembly, where
+    # w = rho4 (f_eff - y3) - z4 is fully determined by (f_eff, ex, z4)
+    # and rho4(it): folding this transpose pass into the previous
+    # iteration's stacked transpose product cuts E's HBM streams from
+    # 3 to 2 per iteration (the iteration is bandwidth-bound at ladder
+    # scale).  Must be refreshed whenever f_eff/ex/z4/it change outside
+    # step() -- see refresh_et_next.
+    et_next: jnp.ndarray      # (B, n)
 
 
 def _wb_ratio(cfg: SolverConfig) -> float:
@@ -90,6 +97,25 @@ def _wb_ratio(cfg: SolverConfig) -> float:
             "schedule ((rho1+rho2)/rho4 must stay constant); use "
             "linsolve='cg' with rho_upper_limit")
     return 2.0
+
+
+def _w_vec(f_eff, ex, z4, rho4):
+    # the m-side vector whose transpose product forms the rhs E^T term:
+    # w(it) = rho4 (f_eff - y3) - z4 with y3 = max(f_eff - ex - z4/rho4, 0)
+    y3 = project_nonneg(f_eff - ex - z4 / rho4)
+    return rho4 * (f_eff - y3) - z4
+
+
+def refresh_et_next(state: LpState, prob: LpProblem,
+                    cfg: SolverConfig) -> LpState:
+    """Recompute the carried E^T w product for the state's CURRENT
+    (f_eff, ex, z4, it).  Required after any out-of-step mutation of
+    those fields (apply_fix and compact call it themselves; callers
+    that advance ``it`` manually, e.g. the l2f rho fast-forward, must
+    call it before running XLA windows)."""
+    w = _w_vec(state.f_eff, state.ex, state.z4, rho_at(state.it, cfg))
+    et = _emv("bmn,bm->bn", _mv_problem(prob, cfg).E, w)
+    return state._replace(et_next=et)
 
 
 def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
@@ -112,14 +138,12 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     if cfg.linsolve == "woodbury":
         factor = woodbury.factorize(prob.E.astype(jnp.float32), free,
                                     _wb_ratio(cfg))
-        # ginv/eet stay f32 even under matvec_dtype="bfloat16": their
-        # HBM traffic is ~m/(4n) of the E passes (~11% at ladder
-        # shapes) and bf16-rounding the factor entries injects 0.4%
-        # error into the cancellation-sensitive x_exact step.
-        ginv, eet = factor.ginv, factor.eet
+        # ginv stays f32 even under matvec_dtype="bfloat16":
+        # bf16-rounding the factor entries injects 0.4% error into the
+        # cancellation-sensitive x_exact step.
+        ginv = factor.ginv
     else:
         ginv = jnp.zeros((B, 1, 1), dt)
-        eet = jnp.zeros((B, 1, 1), dt)
     return LpState(
         x=x, y1=x, y2=x, y3=y3, z1=zeros_n, z2=zeros_n, z4=z4,
         free=free, fixed_val=jnp.zeros((B, n), dt), f_eff=prob.f,
@@ -132,7 +156,11 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
         cur_obj=cur_obj, best_bin_obj=best0, best_sol=x,
         x_prev=jnp.zeros((B, n), dt),
         fix_count=jnp.zeros((B, n), jnp.int32),
-        ex=ex, ginv=ginv, eet=eet,
+        ex=ex, ginv=ginv,
+        et_next=jnp.einsum(
+            "bmn,bm->bn", prob.E,
+            _w_vec(prob.f, ex, z4, rho_at(jnp.int32(0), cfg)),
+            preferred_element_type=jnp.float32, precision=HI),
     )
 
 
@@ -214,9 +242,10 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
 
     # --- x update (PCG or Woodbury) -------------------------------------
     # rhs = rho1 y1 + rho2 y2 - (b + z1 + z2) + E^T(rho4 (f_eff - y3) - z4)
-    #                                                                :872-878
-    et_term = _emv("bmn,bm->bn", prob.E,
-                   rho4 * (state.f_eff - y3) - state.z4)
+    # The E^T term was pre-computed by the PREVIOUS iteration's stacked
+    # transpose pass (state.et_next; init_state/refresh_et_next seed it)
+    # -- this iteration owes its successor the same favour below. :872-878
+    et_term = state.et_next
     rhs = free_f * (rho1 * y1 + rho2 * y2
                     - (prob.b + state.z1 + state.z2) + et_term)
     x0 = free_f * y1                                                # :892
@@ -233,16 +262,28 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
         raise ValueError(f"unknown linsolve {cfg.linsolve!r}; "
                          "expected 'cg' or 'woodbury'")
     if cfg.linsolve == "woodbury":
-        # The iteration is HBM-bound on passes over E; the forward and
-        # transpose products are stacked so E streams from HBM 3x per
-        # iteration total (T: rhs assembly above; F: [rhs, x0];
-        # T: [u, E x0]) and E @ x_new is derived from the cached
-        # E_f E_f^T instead of a 4th pass.
+        # The iteration is HBM-bound on passes over E, which streams
+        # from HBM exactly TWICE per iteration: one stacked forward
+        # pass F:[rhs, x0] and one stacked transpose pass
+        # T:[u, E x0, w_keep, w_exact].  The transpose pass pre-pays
+        # the NEXT iteration's rhs E^T term for both possible outcomes
+        # of the warm-start branch (their duals/y3 lookahead is m-side
+        # elementwise math), and E @ x_new needs no pass at all:
+        # E_f E_f^T u = (G - ratio I) u = E rhs - ratio u.
         fw = _emv("bmn,bkn->bkm", prob.E, jnp.stack([rhs, x0], axis=1))
         Erhs, Ex0 = fw[:, 0], fw[:, 1]
         u = _emv("bmk,bk->bm", state.ginv, Erhs)
-        tv = _emv("bmn,bkm->bkn", prob.E, jnp.stack([u, Ex0], axis=1))
-        EtU, EtEx0 = tv[:, 0], tv[:, 1]
+        Ex_exact = (_wb_ratio(cfg) / c) * u
+        rho4n = rho_at(it + 1, cfg)
+        z4_keep = state.z4 + gamma * rho4 * (Ex0 + y3 - state.f_eff)
+        z4_exact = state.z4 + gamma * rho4 * (Ex_exact + y3
+                                              - state.f_eff)
+        w_keep = _w_vec(state.f_eff, Ex0, z4_keep, rho4n)
+        w_exact = _w_vec(state.f_eff, Ex_exact, z4_exact, rho4n)
+        tv = _emv("bmn,bkm->bkn", prob.E,
+                  jnp.stack([u, Ex0, w_keep, w_exact], axis=1))
+        EtU, EtEx0, et_keep, et_exact = (tv[:, 0], tv[:, 1],
+                                         tv[:, 2], tv[:, 3])
         x_exact = free_f * (rhs - EtU) / c
         # PCG's warm-start early exit (cg.py / reference :204-209): if y1
         # already solves the system to pcg_tol the iterate *is* y1, which
@@ -253,9 +294,8 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
         keep = jnp.sum(r0 * r0, axis=-1) \
             < (cfg.pcg_tol ** 2) * jnp.sum(rhs * rhs, axis=-1)
         x_new = jnp.where(keep[:, None], x0, x_exact)
-        # E @ x_exact = (E rhs - (E_f E_f^T) u) / c  -- no pass over E
-        Ex_exact = (Erhs - _emv("bmk,bk->bm", state.eet, u)) / c
         ex_branch = jnp.where(keep[:, None], Ex0, Ex_exact)
+        et_next = jnp.where(keep[:, None], et_keep, et_exact)
     else:
         diag = jnp.where(state.free, c + rho4 * _esq_diag(prob.E, state.free),
                          1.0)
@@ -274,6 +314,12 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
     else:
         ex_new = _emv("bmn,bn->bm", prob.E, free_f * x)
     z4 = state.z4 + gamma * rho4 * (ex_new + y3 - state.f_eff)      # :919-924
+    if cfg.linsolve != "woodbury":
+        # pre-pay the next iteration's rhs E^T term (the woodbury
+        # branch folded this into its stacked transpose pass)
+        et_next = _emv("bmn,bm->bn", prob.E,
+                       _w_vec(state.f_eff, ex_new, z4,
+                              rho_at(it + 1, cfg)))
 
     # --- convergence -----------------------------------------------------
     c1, c2 = dual_residuals(x, y1, y2, state.free)                  # :931-933
@@ -344,6 +390,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
         y3=updm(y3, state.y3),
         z1=upd(z1, state.z1), z2=upd(z2, state.z2), z4=updm(z4, state.z4),
         ex=jnp.where(act_n, ex_new, state.ex),
+        et_next=upd(et_next, state.et_next),
         obj_ring=obj_ring, obj_count=obj_count,
         it=it + 1,
         done=state.done | newly_done,
@@ -430,17 +477,17 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
     if cfg.linsolve == "woodbury":
         factor = woodbury.factorize(prob.E, free, _wb_ratio(cfg))
         ginv = jnp.where(do[:, None, None], factor.ginv, state.ginv)
-        eet = jnp.where(do[:, None, None], factor.eet, state.eet)
     else:
         ginv = state.ginv
-        eet = state.eet
 
-    return state._replace(
+    ns = state._replace(
         free=free, fixed_val=fixed_val, f_eff=f_eff,
         sum_fix_obj=sum_fix_obj, done=done,
         x_prev=jnp.where(do[:, None], state.x, state.x_prev),   # :1225
-        ex=ex, ginv=ginv, eet=eet,
+        ex=ex, ginv=ginv,
     )
+    # f_eff/ex changed -> the carried E^T w product is stale
+    return refresh_et_next(ns, prob, cfg)
 
 
 def rule_fix_vec(state: LpState, cfg: SolverConfig) -> jnp.ndarray:
@@ -693,10 +740,9 @@ def compact(state: LpState, prob: LpProblem, cfg: SolverConfig,
                       row_mask=rmask2, var_mask=free2)
     if cfg.linsolve == "woodbury":
         factor = woodbury.factorize(E2, free2, _wb_ratio(cfg))
-        ginv2, eet2 = factor.ginv, factor.eet
+        ginv2 = factor.ginv
     else:
         ginv2 = state.ginv
-        eet2 = state.eet
     dt = state.x.dtype
     ex2 = jnp.einsum("bmn,bn->bm", E2, free2.astype(dt) * take(state.x),
                      preferred_element_type=jnp.float32, precision=HI)
@@ -707,7 +753,9 @@ def compact(state: LpState, prob: LpProblem, cfg: SolverConfig,
         free=free2, fixed_val=take(state.fixed_val),
         best_sol=take(state.best_sol), x_prev=take(state.x_prev),
         fix_count=take(state.fix_count),
-        ex=ex2, ginv=ginv2, eet=eet2)
+        ex=ex2, ginv=ginv2,
+        et_next=jnp.zeros_like(take(state.et_next)))
+    state2 = refresh_et_next(state2, prob2, cfg)
     return state2, prob2, idx
 
 

@@ -490,6 +490,11 @@ def lp_window_fused(state, prob, cfg: SolverConfig, window: int,
         it=state.it + window,
         done=done[:, 0] > 0.5, cur_obj=cur_obj[:, 0],
         best_bin_obj=best_obj[:, 0], best_sol=best_sol, ex=ex)
+    # keep the carried E^T w product consistent for any XLA step that
+    # follows a fused window (the kernel recomputes its own E^T term
+    # in VMEM; one HBM pass per window is noise)
+    from ..core import lp as lp_core
+    new_state = lp_core.refresh_et_next(new_state, prob, cfg)
     if record:
         # (B, W, n) -> (B, n, W) to match core.lp.solve_window
         return new_state, jnp.swapaxes(outs[14], 1, 2)

@@ -34,8 +34,8 @@ HI = jax.lax.Precision.HIGHEST
 class WoodburyFactor(NamedTuple):
     ginv: jnp.ndarray   # (B, m, m) explicit inverse of G
     ratio: float        # c / rho4 used to build G (static under LP schedule)
-    eet: jnp.ndarray = None  # (B, m, m) E_f E_f^T (= G - ratio I), cached
-    #  so E @ x_exact can be derived without an extra pass over E
+    # NOTE: E @ x_exact needs no extra matrix: with u = G^{-1} E rhs,
+    # E_f E_f^T u = (G - ratio I) u = E rhs - ratio u (core/lp.step).
 
 
 def factorize(E: jnp.ndarray, free: jnp.ndarray, ratio: float) -> WoodburyFactor:
@@ -54,8 +54,7 @@ def factorize(E: jnp.ndarray, free: jnp.ndarray, ratio: float) -> WoodburyFactor
     chol = jnp.linalg.cholesky(G)
     eye = jnp.broadcast_to(jnp.eye(m, dtype=G.dtype), G.shape)
     ginv = jax.scipy.linalg.cho_solve((chol, True), eye)
-    return WoodburyFactor(ginv=ginv, ratio=ratio,
-                          eet=G - ratio * jnp.eye(m, dtype=G.dtype))
+    return WoodburyFactor(ginv=ginv, ratio=ratio)
 
 
 class NsideFactor(NamedTuple):

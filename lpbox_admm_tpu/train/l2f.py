@@ -303,6 +303,9 @@ def _tail_phase(state, orig_prob, cfg, n_new, m_new, rho_boost,
         # iteration counter.  Off by default (reference semantics);
         # quality/speed trade-off measured in STATUS.md.
         state = state._replace(it=state.it + rho_boost)
+        # the boosted iteration counter changes rho, so the carried
+        # E^T w product (core/lp.LpState.et_next) is stale
+        state = lp.refresh_et_next(state, prob, cfg)
     if fused:
         from ..ops.pallas_lp import solve_fused_from
         nfactor = None
