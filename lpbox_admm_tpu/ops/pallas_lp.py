@@ -206,6 +206,10 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
             # next op before its scratch buffer is rewritten
             Erhs = fwd(rhs)                      # -> sm
             u = bmv(ginv_ref, Erhs, s2_ref)      # -> s2
+            # E @ x_exact via the Woodbury identity (core/lp.step):
+            # E_f E_f^T u = (G - ratio I) u => E x_exact = u / rho4;
+            # consumes u before s2 is rewritten below
+            ex_exact = u / rho4
             EtU = tps(u)                         # -> sn
             Ex0 = fwd(x0)                        # -> sm
             EtEx0 = bmv_t(E_ref, Ex0, s2_ref)    # -> s2
@@ -217,7 +221,11 @@ def _window_kernel(E_ref, ginv_ref, b_ref, vmask_ref, rmask_ref,
             < tol2 * jnp.sum(rhs * rhs, axis=-1)
         x_new = jnp.where(keep[:, None], x0, x_exact)
         x_new = jnp.where(act, x_new, x)
-        ex_new = fwd(x_new)
+        if nside:
+            ex_new = fwd(x_new)
+        else:
+            # one fewer E pass: both branches' products are in hand
+            ex_new = jnp.where(keep[:, None], Ex0, ex_exact)
         ex_new = jnp.where(act, ex_new, exc)
 
         # --- dual ascent ----------------------------------------------
