@@ -380,3 +380,26 @@ def test_solve_auto_dispatch(small_batch):
     np.testing.assert_allclose(
         np.asarray(lp.objective_best(st2))[:prob.batch],
         np.asarray(lp.objective_best(ref)), rtol=1e-6)
+
+
+def test_et_next_carry_consistency(small_batch):
+    """The cross-iteration E^T w carry (LpState.et_next) must always
+    equal a fresh recomputation from (f_eff, ex, z4, it) -- staleness
+    here silently corrupts every subsequent x-update."""
+    _, prob = small_batch
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    state = lp.init_state(prob, cfg)
+    state, _ = lp.solve_window(state, prob, cfg, 37, record=False,
+                               skip_cvg_at=0)
+    fresh = lp.refresh_et_next(state, prob, cfg)
+    np.testing.assert_allclose(np.asarray(state.et_next),
+                               np.asarray(fresh.et_next),
+                               rtol=2e-4, atol=2e-2)
+    # apply_fix mutates f_eff/ex and must refresh the carry itself
+    vec = np.full((prob.batch, prob.n), -1.0, np.float32)
+    vec[:, :40] = (np.asarray(state.x[:, :40]) >= 0.5).astype(np.float32)
+    st2 = lp.apply_fix(state, prob, jnp.asarray(vec), cfg, min_fix=0)
+    fresh2 = lp.refresh_et_next(st2, prob, cfg)
+    np.testing.assert_allclose(np.asarray(st2.et_next),
+                               np.asarray(fresh2.et_next),
+                               rtol=1e-5, atol=1e-4)
