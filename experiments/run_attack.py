@@ -79,6 +79,8 @@ def load_images(args):
 
 
 def main():
+    from lpbox_admm_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     args = parse_args()
     import jax
     import jax.numpy as jnp

@@ -52,6 +52,8 @@ def parse_args():
 
 
 def main():
+    from lpbox_admm_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     args = parse_args()
     if args.save_dir == "saved_model":
         args.save_dir = os.path.join("saved_model", "seg", args.net)

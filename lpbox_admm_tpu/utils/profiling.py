@@ -82,3 +82,23 @@ def perturb(rng: np.random.RandomState, arr, scale: float = 1e-5):
 
     f = 1.0 + scale * rng.rand(*np.shape(arr)).astype(np.float32)
     return arr * jnp.asarray(f)
+
+
+def enable_compile_cache(root=None):
+    """Persistent XLA compilation cache (CLAUDE.md: the axon remote
+    compile service can take minutes per executable; the cache
+    serializes compiled executables across processes).  Call at the
+    top of every TPU driver/script."""
+    import os
+
+    import jax
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(root, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
