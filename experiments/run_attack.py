@@ -99,6 +99,11 @@ def main():
     cfg = ATTACK_CONFIG.replace(
         k=args.k, segments=args.segments, maxIter_e=args.maxIter_e,
         maxIter_g=args.maxIter_g, lambda1_search_times=args.search)
+    if args.init_lambda1 is None and args.victim is None:
+        # a seeded random-init victim has weak, noisy gradients; the
+        # reference's 1e-3 start leaves the whole binary search below
+        # the useful range (observed 3% success vs 100% at 100)
+        args.init_lambda1 = 100.0
     if args.init_lambda1 is not None:
         cfg = cfg.replace(init_lambda1=args.init_lambda1,
                           lambda1=args.init_lambda1)

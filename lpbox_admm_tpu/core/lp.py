@@ -138,9 +138,11 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     if cfg.linsolve == "woodbury":
         factor = woodbury.factorize(prob.E.astype(jnp.float32), free,
                                     _wb_ratio(cfg))
-        # ginv stays f32 even under matvec_dtype="bfloat16":
-        # bf16-rounding the factor entries injects 0.4% error into the
-        # cancellation-sensitive x_exact step.
+        # ginv stays f32 even under matvec_dtype="bfloat16": bf16
+        # G^{-1} storage was tried (r2b) and REJECTED -- its ~4e-3
+        # entry rounding degrades converged objectives up to 30% on
+        # small instances (the x_exact cancellation amplifies it);
+        # unlike E's exact 0/1 entries there is no free lunch here.
         ginv = factor.ginv
     else:
         ginv = jnp.zeros((B, 1, 1), dt)

@@ -403,3 +403,4 @@ def test_et_next_carry_consistency(small_batch):
     np.testing.assert_allclose(np.asarray(st2.et_next),
                                np.asarray(fresh2.et_next),
                                rtol=1e-5, atol=1e-4)
+
