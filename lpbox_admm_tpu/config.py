@@ -187,6 +187,14 @@ class PolicyConfig:
     # little fixing delay for fewer locked-in wrong fixes (the source
     # of the objective-gap tail, STATUS r2).
     fix_windows: int = 1
+    # Veto policy fixes that contradict the trajectory itself:
+    # 0 = off (reference behaviour);
+    # 1 = endpoint gate (fix-to-1 requires the window's final iterate
+    #     > 0.5 and vice versa -- a confident score on a variable
+    #     sitting on the other side is an extrapolation);
+    # 2 = endpoint + stability gate (additionally the iterate's range
+    #     over the window must be < 0.25, the rule-fixing intuition).
+    fix_agree_gate: int = 0
     lr: float = 1e-4
     lr_decay_step: int = 2000
     lr_decay_factor: float = 0.5

@@ -228,6 +228,17 @@ def _policy_phase(state, prob, variables, model, cfg, pcfg, ws,
         sig = score_rows(rows)
         conf1 = (sig > pcfg.fix_confidence).reshape(s.x.shape)
         conf0 = (sig < 1.0 - pcfg.fix_confidence).reshape(s.x.shape)
+        if pcfg.fix_agree_gate:
+            # veto fixes that contradict the trajectory (config.py:
+            # fix_agree_gate): the window's own iterates are in hand
+            end = traj[:, :, -1]
+            conf1 = conf1 & (end > 0.5)
+            conf0 = conf0 & (end < 0.5)
+            if pcfg.fix_agree_gate >= 2:
+                amp = jnp.max(traj, -1) - jnp.min(traj, -1)
+                stable = amp < 0.25
+                conf1 = conf1 & stable
+                conf0 = conf0 & stable
         streak1 = jnp.where(conf1, streak1 + 1, 0)
         streak0 = jnp.where(conf0, streak0 + 1, 0)
         k = pcfg.fix_windows

@@ -257,3 +257,38 @@ def test_fast_scorer_matches_forward():
                               pcfg)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref[:, 0]),
                                atol=2e-6)
+
+
+def test_fix_agree_gate_reduces_fixing():
+    """fix_agree_gate=2 (endpoint+stability veto) can only reduce the
+    fixed count vs the ungated policy (plumbing check; the quality/
+    throughput A/B lives in scripts/sweep_agree_gate.py + STATUS)."""
+    import numpy as np
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG, PolicyConfig
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.train import l2f
+    from lpbox_admm_tpu.train.imitation import PolicyTrainer
+
+    rng = np.random.RandomState(5)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(2)]
+    prob = ca.make_problem(insts)
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    model = build_policy("mlp")
+    fixed = {}
+    for g in (0, 2):
+        pcfg = PolicyConfig(net="mlp", fix_confidence=0.6,
+                            node_size=8, chunk_dim=5,
+                            fix_agree_gate=g)
+        trainer = PolicyTrainer(model, pcfg, cfg, ws=40)
+        import jax
+        import jax.numpy as jnp
+        sample = jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim))
+        variables = trainer.variables(
+            trainer.init(jax.random.PRNGKey(0), sample))
+        _, out = l2f.l2f_solve_compact(
+            prob, model, variables, cfg, pcfg, ws=40,
+            policy_windows=2, max_iter=2000)
+        fixed[g] = int(np.asarray(out["n_fixed"]).sum())
+    assert fixed[2] <= fixed[0], fixed
