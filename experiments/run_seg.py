@@ -48,6 +48,10 @@ def parse_args():
                    help="ICM one-flip polish sweeps applied to BOTH the "
                         "plain oracle and the l2f solution in -phase "
                         "test (0 = reference reporting semantics)")
+    p.add_argument("-pair_sweeps", type=int, default=4,
+                   help="domino (two-pixel) flip descent sweeps after "
+                        "the ICM polish, both sides "
+                        "(ops/repair.pair_descent; 0 = off)")
     return p.parse_args()
 
 
@@ -119,7 +123,8 @@ def main():
     eval_prob = seg.load_problem(eval_paths, num_nodes=args.num_nodes)
     eval_ds = imitation.build_dataset_qp(
         eval_prob, cfg, record_iters=5 * args.ws,
-        repair_sweeps=args.repair_sweeps if args.phase == "test" else 0)
+        repair_sweeps=args.repair_sweeps if args.phase == "test" else 0,
+        pair_sweeps=args.pair_sweeps if args.phase == "test" else 0)
 
     if args.phase == "train":
         train_prob = seg.load_problem(paths[:n_train],
@@ -160,10 +165,12 @@ def main():
         m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,
                                eval_ds.labels.reshape(
                                    eval_prob.batch, *eval_prob.grid),
-                               repair_sweeps=args.repair_sweeps)
+                               repair_sweeps=args.repair_sweeps,
+                               pair_sweeps=args.pair_sweeps)
         H, W = eval_prob.grid
         sol, _ = qp.select_solution(state, eval_prob,
-                                    repair_sweeps=args.repair_sweeps)
+                                    repair_sweeps=args.repair_sweeps,
+                                    pair_sweeps=args.pair_sweeps)
         sol = np.asarray(sol)
         for i, p in enumerate(eval_paths):
             name = os.path.splitext(os.path.basename(p))[0]

@@ -286,7 +286,7 @@ def solution_best(state: QpState) -> jnp.ndarray:
 
 
 def select_solution(state: QpState, prob: QpProblem,
-                    repair_sweeps: int = 0):
+                    repair_sweeps: int = 0, pair_sweeps: int = 0):
     """Per instance, the lower-energy of (final rounding, best incumbent
     rounding).  The BQP is unconstrained so every rounding is feasible;
     the reference reports only the last (Seg xiter_all.csv, :1376) --
@@ -311,6 +311,15 @@ def select_solution(state: QpState, prob: QpProblem,
         from ..ops.repair import icm_descent
         sol = icm_descent(prob.stencil, prob.b, prob.mask, sol,
                           sweeps=repair_sweeps)
+        energy_sel = en(sol)
+    if pair_sweeps > 0:
+        # domino flips reach moves 1-flip descent cannot; interleave a
+        # final 1-flip pass to clean up what the pairs opened up
+        from ..ops.repair import icm_descent, pair_descent
+        sol = pair_descent(prob.stencil, prob.b, prob.mask, sol,
+                           sweeps=pair_sweeps)
+        sol = icm_descent(prob.stencil, prob.b, prob.mask, sol,
+                          sweeps=max(1, repair_sweeps // 2))
         energy_sel = en(sol)
     return sol, energy_sel
 

@@ -67,6 +67,54 @@ def icm_descent(stencil, b: jnp.ndarray, mask: jnp.ndarray,
     return sol
 
 
+def pair_descent(stencil, b: jnp.ndarray, mask: jnp.ndarray,
+                 sol: jnp.ndarray, sweeps: int = 4) -> jnp.ndarray:
+    """Domino (two-pixel) flip descent for the binary grid QP --
+    the move class :func:`icm_descent` cannot reach.
+
+    Flipping adjacent pixels i, j together changes the energy by
+    ``delta_i + delta_j - 2 w_ij s_i s_j`` (the cross term rewards
+    same-direction joint flips, e.g. a 2-pixel island), so a pair can
+    improve even when both single-flip deltas are >= 0.  Horizontal
+    and vertical dominoes are each 4-coloured by
+    ``(row % 2, (col // 2) % 2)`` -- same-colour dominoes are at least
+    2 rows or 3 columns apart, hence never stencil-adjacent under the
+    8-neighbourhood, so each colour step's flips are exactly
+    independent and the energy decreases monotonically.  A sweep is
+    2 orientations x 4 colours = 8 stencil matvecs.
+    """
+    from . import stencil as st_mod
+    H, W = sol.shape[-2], sol.shape[-1]
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+    color = (rows % 2) * 2 + ((cols // 2) % 2)       # (H, W) in {0..3}
+    #: east / south neighbour planes (ops/stencil.OFFSETS order)
+    ORIENT = ((4, 0, 1), (6, 1, 0))
+
+    def orient_step(sol, d_idx, dr, dc, k):
+        ax = stencil.a_matvec(sol)
+        s = 1.0 - 2.0 * sol
+        delta = stencil.degree + s * (2.0 * ax + b)
+        d_n = st_mod.shift(delta, dr, dc)
+        s_n = st_mod.shift(s, dr, dc)
+        m_n = st_mod.shift(mask.astype(sol.dtype), dr, dc) > 0.5
+        w = stencil.weights[:, d_idx]
+        pd = delta + d_n - 2.0 * w * s * s_n
+        flip_a = (color[None] == k) & mask & m_n & (pd < -_TOL)
+        flip_b = st_mod.shift(flip_a.astype(sol.dtype), -dr, -dc) > 0.5
+        flip = flip_a | flip_b
+        return jnp.where(flip, 1.0 - sol, sol)
+
+    def sweep(sol, _):
+        for d_idx, dr, dc in ORIENT:
+            for k in range(4):
+                sol = orient_step(sol, d_idx, dr, dc, k)
+        return sol, None
+
+    sol, _ = jax.lax.scan(sweep, sol, None, length=sweeps)
+    return sol
+
+
 def greedy_repair(prob, sol: jnp.ndarray, rounds: int = 16
                   ) -> jnp.ndarray:
     """Refill a feasible rounding; returns the improved (B, n) solution.

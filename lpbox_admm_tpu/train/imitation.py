@@ -118,7 +118,8 @@ def episode_batch(ds: TrajectoryDataset, pcfg: PolicyConfig, ws: int,
 
 def build_dataset_qp(prob, cfg: SolverConfig,
                      record_iters: int = 50,
-                     repair_sweeps: int = 0) -> TrajectoryDataset:
+                     repair_sweeps: int = 0,
+                     pair_sweeps: int = 0) -> TrajectoryDataset:
     """Segmentation variant of build_dataset: grid trajectories flattened
     to (B, H*W, T); oracle = full energy of the plain solve
     (Seg trainer.py readFile/getLabel + xiter_all.csv oracle)."""
@@ -142,7 +143,8 @@ def build_dataset_qp(prob, cfg: SolverConfig,
     # optionally ICM-polished), so l2f gaps compare equal reporting
     # semantics (see build_dataset)
     _, oracle = jax.jit(functools.partial(
-        qp_core.select_solution, repair_sweeps=repair_sweeps))(state, prob)
+        qp_core.select_solution, repair_sweeps=repair_sweeps,
+        pair_sweeps=pair_sweeps))(state, prob)
     return TrajectoryDataset(
         traj=traj.reshape(B, -1, record_iters),
         labels=labels.reshape(B, -1),

@@ -163,14 +163,16 @@ def l2f_metrics(state: lp.LpState, prob: LpProblem,
 def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
                    oracle_energy: jnp.ndarray,
                    labels: Optional[jnp.ndarray] = None,
-                   repair_sweeps: int = 0) -> dict:
+                   repair_sweeps: int = 0,
+                   pair_sweeps: int = 0) -> dict:
     """Segmentation eval metrics: energy gap + per-pixel agreement
     (Seg trainer.py:745-771).  Energy/solution are the better of the
     final rounding and the best incumbent (qp.select_solution),
     optionally ICM-polished (pass the same ``repair_sweeps`` used for
     the oracle side so gaps compare equal reporting semantics)."""
     sol, energy = qp.select_solution(state, prob,
-                                     repair_sweeps=repair_sweeps)
+                                     repair_sweeps=repair_sweeps,
+                                     pair_sweeps=pair_sweeps)
     gap = (energy - oracle_energy) / jnp.abs(oracle_energy)
     fixed = (~state.free) & prob.mask
     out = {

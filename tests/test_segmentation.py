@@ -262,3 +262,49 @@ def test_select_solution_repair_qp(seg_batch):
              + jnp.sum(prob.b * sol_b, axis=(-2, -1)) + prob.const)
     np.testing.assert_allclose(np.asarray(e_chk), np.asarray(e_b),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_pair_descent_escapes_icm_fixed_point():
+    """A 2-pixel island with strong mutual affinity and mildly negative
+    unaries: each single flip increases the energy (ICM is stuck at
+    all-zeros) but flipping the pair together decreases it."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lpbox_admm_tpu.ops.repair import icm_descent, pair_descent
+    from lpbox_admm_tpu.ops.stencil import build_stencil, quad_form
+
+    H = W = 4
+    w = np.zeros((1, 8, H, W), np.float32)
+    # east/west symmetric edge between (1,1)-(1,2) with weight 5
+    w[0, 4, 1, 1] = 5.0   # east of (1,1)
+    w[0, 3, 1, 2] = 5.0   # west of (1,2)
+    st = build_stencil(jnp.asarray(w))
+    b = np.zeros((1, H, W), np.float32)
+    b[0, 1, 1] = b[0, 1, 2] = -2.0
+    b = jnp.asarray(b)
+    mask = jnp.ones((1, H, W), bool)
+    x0 = jnp.zeros((1, H, W), jnp.float32)
+
+    def energy(x):
+        return float(quad_form(st, x)[0] + jnp.sum(b * x))
+
+    x_icm = icm_descent(st, b, mask, x0, sweeps=4)
+    assert energy(x_icm) == energy(x0)          # stuck
+    x_pair = pair_descent(st, b, mask, x0, sweeps=2)
+    assert energy(x_pair) < energy(x0) - 1.0    # pair flip taken
+    np.testing.assert_array_equal(
+        np.asarray(x_pair[0, 1, 1:3]), np.ones(2, np.float32))
+    # never increases on a random instance
+    rng = np.random.RandomState(0)
+    wr = np.zeros((2, 8, 8, 8), np.float32)
+    e = rng.rand(2, 8, 8).astype(np.float32) * 3
+    wr[:, 4, :, :-1] = e[:, :, :-1]
+    wr[:, 3, :, 1:] = e[:, :, :-1]
+    st2 = build_stencil(jnp.asarray(wr))
+    b2 = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+    m2 = jnp.ones((2, 8, 8), bool)
+    xr = jnp.asarray((rng.rand(2, 8, 8) > 0.5).astype(np.float32))
+    def en2(x):
+        return np.asarray(quad_form(st2, x) + jnp.sum(b2 * x, (-2, -1)))
+    xp = pair_descent(st2, b2, m2, xr, sweeps=3)
+    assert np.all(en2(xp) <= en2(xr) + 1e-4)
