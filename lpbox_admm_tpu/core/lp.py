@@ -477,7 +477,11 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
                     preferred_element_type=jnp.float32, precision=HI)
     ex = jnp.where(do[:, None], ex, state.ex)
     if cfg.linsolve == "woodbury":
-        factor = woodbury.factorize(prob.E, free, _wb_ratio(cfg))
+        # f32 cast mirrors init_state: G^-1 in bf16 was measured to
+        # cost up to 30% objective; guard against a bf16 problem view
+        # ever reaching this refactorization (round-2 ADVICE)
+        factor = woodbury.factorize(prob.E.astype(jnp.float32), free,
+                                    _wb_ratio(cfg))
         ginv = jnp.where(do[:, None, None], factor.ginv, state.ginv)
     else:
         ginv = state.ginv

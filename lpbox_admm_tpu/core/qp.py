@@ -307,20 +307,29 @@ def select_solution(state: QpState, prob: QpProblem,
     sol = jnp.take_along_axis(sols, k[:, None, None, None],
                               axis=1)[:, 0]
     energy_sel = jnp.take_along_axis(e, k[:, None], axis=1)[:, 0]
+    def keep_better(cand, sol, energy_sel):
+        # polish safety net: per instance, never return a solution
+        # worse than the pre-polish one (descent passes are proven
+        # monotone, but this makes the guarantee structural)
+        e_c = en(cand)
+        better = (e_c < energy_sel)[:, None, None]
+        return (jnp.where(better, cand, sol),
+                jnp.minimum(e_c, energy_sel))
+
     if repair_sweeps > 0:
         from ..ops.repair import icm_descent
-        sol = icm_descent(prob.stencil, prob.b, prob.mask, sol,
-                          sweeps=repair_sweeps)
-        energy_sel = en(sol)
+        cand = icm_descent(prob.stencil, prob.b, prob.mask, sol,
+                           sweeps=repair_sweeps)
+        sol, energy_sel = keep_better(cand, sol, energy_sel)
     if pair_sweeps > 0:
         # domino flips reach moves 1-flip descent cannot; interleave a
         # final 1-flip pass to clean up what the pairs opened up
         from ..ops.repair import icm_descent, pair_descent
-        sol = pair_descent(prob.stencil, prob.b, prob.mask, sol,
-                           sweeps=pair_sweeps)
-        sol = icm_descent(prob.stencil, prob.b, prob.mask, sol,
-                          sweeps=max(1, repair_sweeps // 2))
-        energy_sel = en(sol)
+        cand = pair_descent(prob.stencil, prob.b, prob.mask, sol,
+                            sweeps=pair_sweeps)
+        cand = icm_descent(prob.stencil, prob.b, prob.mask, cand,
+                           sweeps=max(1, repair_sweeps // 2))
+        sol, energy_sel = keep_better(cand, sol, energy_sel)
     return sol, energy_sel
 
 

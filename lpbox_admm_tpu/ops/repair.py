@@ -75,23 +75,36 @@ def pair_descent(stencil, b: jnp.ndarray, mask: jnp.ndarray,
     Flipping adjacent pixels i, j together changes the energy by
     ``delta_i + delta_j - 2 w_ij s_i s_j`` (the cross term rewards
     same-direction joint flips, e.g. a 2-pixel island), so a pair can
-    improve even when both single-flip deltas are >= 0.  Horizontal
-    and vertical dominoes are each 4-coloured by
-    ``(row % 2, (col // 2) % 2)`` -- same-colour dominoes are at least
-    2 rows or 3 columns apart, hence never stencil-adjacent under the
-    8-neighbourhood, so each colour step's flips are exactly
-    independent and the energy decreases monotonically.  A sweep is
-    2 orientations x 4 colours = 8 stencil matvecs.
+    improve even when both single-flip deltas are >= 0.  Each
+    orientation uses its own 8-colouring of the domino ANCHORS so that
+    same-colour dominoes can never interact under the 8-neighbour
+    stencil:
+
+    - horizontal (cells (r,c),(r,c+1)): two anchors interact iff
+      ``|dr| <= 1 and |dc| <= 2``; colour ``(r % 2) * 4 + (c % 4)``
+      forces same-colour pairs to ``|dr| >= 2 or |dc| >= 4``;
+    - vertical (cells (r,c),(r+1,c)): interaction iff ``|dr| <= 2 and
+      |dc| <= 1``; colour ``(r % 4) * 2 + (c % 2)`` forces
+      ``|dr| >= 4 or |dc| >= 2``.
+
+    Hence each colour step's flips are exactly independent and the
+    energy decreases monotonically.  (The original 4-colouring by
+    ``(r % 2, (c // 2) % 2)`` let horizontal dominoes anchored at
+    columns c, c+1 of one 2-column block fire together -- an
+    unevaluated triple flip that could RAISE the energy; found by the
+    round-2 advisor.)  A sweep is 2 orientations x 8 colours = 16
+    stencil matvecs.
     """
     from . import stencil as st_mod
     H, W = sol.shape[-2], sol.shape[-1]
     rows = jnp.arange(H)[:, None]
     cols = jnp.arange(W)[None, :]
-    color = (rows % 2) * 2 + ((cols // 2) % 2)       # (H, W) in {0..3}
+    color_h = (rows % 2) * 4 + (cols % 4)            # (H, W) in {0..7}
+    color_v = (rows % 4) * 2 + (cols % 2)            # (H, W) in {0..7}
     #: east / south neighbour planes (ops/stencil.OFFSETS order)
-    ORIENT = ((4, 0, 1), (6, 1, 0))
+    ORIENT = ((4, 0, 1, color_h), (6, 1, 0, color_v))
 
-    def orient_step(sol, d_idx, dr, dc, k):
+    def orient_step(sol, d_idx, dr, dc, color, k):
         ax = stencil.a_matvec(sol)
         s = 1.0 - 2.0 * sol
         delta = stencil.degree + s * (2.0 * ax + b)
@@ -106,9 +119,9 @@ def pair_descent(stencil, b: jnp.ndarray, mask: jnp.ndarray,
         return jnp.where(flip, 1.0 - sol, sol)
 
     def sweep(sol, _):
-        for d_idx, dr, dc in ORIENT:
-            for k in range(4):
-                sol = orient_step(sol, d_idx, dr, dc, k)
+        for d_idx, dr, dc, color in ORIENT:
+            for k in range(8):
+                sol = orient_step(sol, d_idx, dr, dc, color, k)
         return sol, None
 
     sol, _ = jax.lax.scan(sweep, sol, None, length=sweeps)

@@ -44,7 +44,19 @@ def load_pytree(path: str, example: Any) -> Any:
         raise ValueError(
             f"checkpoint has {len(keys)} leaves, example has "
             f"{len(leaves)}")
-    return jax.tree_util.tree_unflatten(treedef, [z[k] for k in keys])
+    loaded = [z[k] for k in keys]
+    # validate shape/dtype per leaf so a mismatched checkpoint fails
+    # HERE with a named leaf, not later with an opaque unflatten/shape
+    # error deep in a solve (round-2 ADVICE)
+    for i, (got, want) in enumerate(zip(loaded, leaves)):
+        want_shape = tuple(np.shape(want))
+        want_dtype = np.asarray(want).dtype
+        if tuple(got.shape) != want_shape or got.dtype != want_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} ({keys[i]}) has shape "
+                f"{tuple(got.shape)} dtype {got.dtype}, example "
+                f"expects shape {want_shape} dtype {want_dtype}")
+    return jax.tree_util.tree_unflatten(treedef, loaded)
 
 
 def load_meta(path: str) -> dict:

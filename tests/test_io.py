@@ -104,6 +104,28 @@ def test_solver_state_checkpoint_resume(tmp_path):
                                np.asarray(lp.objective(b)))
 
 
+def test_checkpoint_shape_mismatch_error(tmp_path):
+    """Loading a checkpoint into a differently-shaped example must fail
+    at load time with a descriptive error naming the leaf (round-2
+    ADVICE), not later with an opaque shape error."""
+    import jax.numpy as jnp
+    import pytest
+    from lpbox_admm_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {"a": np.zeros((3, 4), np.float32), "b": np.arange(5)}
+    path = str(tmp_path / "t.ckpt")
+    save_pytree(path, tree)
+    bad_shape = {"a": np.zeros((3, 5), np.float32), "b": np.arange(5)}
+    with pytest.raises(ValueError, match="leaf 0"):
+        load_pytree(path, bad_shape)
+    bad_dtype = {"a": np.zeros((3, 4), np.float64), "b": np.arange(5)}
+    with pytest.raises(ValueError, match="dtype"):
+        load_pytree(path, bad_dtype)
+    ok = load_pytree(path, {"a": np.ones((3, 4), np.float32),
+                            "b": np.zeros(5, np.int64)})
+    np.testing.assert_array_equal(ok["a"], tree["a"])
+
+
 def test_phase_timer():
     import time as _t
 

@@ -308,3 +308,40 @@ def test_pair_descent_escapes_icm_fixed_point():
         return np.asarray(quad_form(st2, x) + jnp.sum(b2 * x, (-2, -1)))
     xp = pair_descent(st2, b2, m2, xr, sweeps=3)
     assert np.all(en2(xp) <= en2(xr) + 1e-4)
+
+
+def test_pair_descent_monotone_adjacent_dominoes():
+    """Round-2 advisor counterexample: a w=1 chain with
+    b=[2,-4,1.5,0] where the old 4-colouring let two OVERLAPPING
+    horizontal dominoes fire in one colour step (an unevaluated triple
+    flip that raised the energy 0.0 -> +0.5).  The orientation-specific
+    8-colouring must be monotone from EVERY one of the 16 starting
+    configurations (batched as B=16)."""
+    import itertools
+
+    import jax.numpy as jnp
+    import numpy as np
+    from lpbox_admm_tpu.ops.repair import pair_descent
+    from lpbox_admm_tpu.ops.stencil import build_stencil, quad_form
+
+    H, W = 1, 4
+    B = 16
+    w = np.zeros((B, 8, H, W), np.float32)
+    for c in range(W - 1):                  # chain edges, weight 1
+        w[:, 4, 0, c] = 1.0                 # east of (0, c)
+        w[:, 3, 0, c + 1] = 1.0             # west of (0, c+1)
+    st = build_stencil(jnp.asarray(w))
+    b = jnp.asarray(
+        np.tile(np.array([[2.0, -4.0, 1.5, 0.0]], np.float32)
+                .reshape(1, H, W), (B, 1, 1)))
+    mask = jnp.ones((B, H, W), bool)
+    x0 = jnp.asarray(np.array(
+        list(itertools.product([0.0, 1.0], repeat=4)),
+        np.float32).reshape(B, H, W))
+
+    def en(x):
+        return np.asarray(quad_form(st, x) + jnp.sum(b * x, (-2, -1)))
+
+    xp = pair_descent(st, b, mask, x0, sweeps=4)
+    e0, ep = en(x0), en(xp)
+    assert np.all(ep <= e0 + 1e-5), (e0, ep)
