@@ -174,6 +174,49 @@ def make_problem(
     return stack_lp_instances(bs, Es, n_pad=n_pad, m_pad=m_pad)
 
 
+def make_sparse_problem(
+    instances: Sequence[Tuple[np.ndarray, np.ndarray]],
+    n_pad: Optional[int] = None,
+    m_pad: Optional[int] = None,
+    align: int = 128,
+) -> LpProblem:
+    """Batch CA instances with E stored as a SparseEll (O(nnz)).
+
+    The very-large rungs of the reference's instance ladder (up to
+    (2000 items, 1e6 bids), cython_solver/LPboxADMMsolver.cpp:2461-2486)
+    are ~5 nnz/column: dense (B, m, n) E would need GBs of HBM where
+    the ELL gather layout needs tens of MB.  Same padding contract as
+    ``make_problem``; use ``linsolve="woodbury"`` (the Gram matrix is
+    built sparsely) or ``"cg"``.
+    """
+    from ..core.problem import round_up
+    from ..ops import sparse as sparse_ops
+
+    bs = [-np.asarray(p, dtype=np.float64) for p, _ in instances]
+    ns = [b.shape[0] for b in bs]
+    ms = [C.shape[0] for _, C in instances]
+    n = n_pad or round_up(max(ns), align)
+    m = m_pad or round_up(max(ms), align)
+    B = len(instances)
+    b_arr = np.zeros((B, n), np.float32)
+    f_arr = np.ones((B, m), np.float32)
+    rmask = np.zeros((B, m), bool)
+    vmask = np.zeros((B, n), bool)
+    coos = []
+    for i, (bi, (_, Ci)) in enumerate(zip(bs, instances)):
+        b_arr[i, : ns[i]] = bi
+        rmask[i, : ms[i]] = True
+        vmask[i, : ns[i]] = True
+        rows, cols = np.nonzero(np.asarray(Ci))
+        coos.append((rows, cols,
+                     np.asarray(Ci)[rows, cols].astype(np.float32)))
+    E = sparse_ops.from_coo(coos, (m, n))
+    import jax.numpy as jnp
+    return LpProblem(b=jnp.asarray(b_arr), E=E, f=jnp.asarray(f_arr),
+                     row_mask=jnp.asarray(rmask),
+                     var_mask=jnp.asarray(vmask))
+
+
 def generate_batch(seed: int, count: int, n_items: int = 100,
                    n_bids: int = 500, **kw) -> LpProblem:
     """Generate ``count`` seeded instances and batch them."""

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..config import SolverConfig
 from ..ops import cg as cg_ops
+from ..ops import sparse as sparse_ops
 from ..ops import woodbury
 from ..ops.projections import project_box, project_shifted_lp_ball, project_nonneg
 from ..ops.schedule import rho_at, gamma_at
@@ -99,6 +100,11 @@ def _wb_ratio(cfg: SolverConfig) -> float:
     return 2.0
 
 
+def _E32(E):
+    """E as f32 for factorization (SparseEll is stored f32 already)."""
+    return E if sparse_ops.is_sparse(E) else E.astype(jnp.float32)
+
+
 def _w_vec(f_eff, ex, z4, rho4):
     # the m-side vector whose transpose product forms the rhs E^T term:
     # w(it) = rho4 (f_eff - y3) - z4 with y3 = max(f_eff - ex - z4/rho4, 0)
@@ -127,7 +133,7 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     x = free_f * 1.0                      # x0 = 1 on valid vars (:583-586)
     zeros_n = jnp.zeros((B, n), dt)
     z4 = jnp.zeros((B, m), dt)
-    ex = jnp.einsum("bmn,bn->bm", prob.E, x, preferred_element_type=jnp.float32, precision=HI)
+    ex = _emv("bmn,bn->bm", prob.E, x)
     y3 = prob.f - ex                      # (:720)
     cur_obj = jnp.sum(prob.b * x, axis=-1)  # best_bin_obj = b.x0 (:727)
     # With feasible-incumbent tracking the x0=1 objective (the global
@@ -136,8 +142,7 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     best0 = jnp.full((B,), _BEST_INIT, dt) if cfg.feasible_incumbent \
         else cur_obj
     if cfg.linsolve == "woodbury":
-        factor = woodbury.factorize(prob.E.astype(jnp.float32), free,
-                                    _wb_ratio(cfg))
+        factor = woodbury.factorize(_E32(prob.E), free, _wb_ratio(cfg))
         # ginv stays f32 even under matvec_dtype="bfloat16": bf16
         # G^{-1} storage was tried (r2b) and REJECTED -- its ~4e-3
         # entry rounding degrades converged objectives up to 30% on
@@ -159,15 +164,16 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
         x_prev=jnp.zeros((B, n), dt),
         fix_count=jnp.zeros((B, n), jnp.int32),
         ex=ex, ginv=ginv,
-        et_next=jnp.einsum(
+        et_next=_emv(
             "bmn,bm->bn", prob.E,
-            _w_vec(prob.f, ex, z4, rho_at(jnp.int32(0), cfg)),
-            preferred_element_type=jnp.float32, precision=HI),
+            _w_vec(prob.f, ex, z4, rho_at(jnp.int32(0), cfg))),
     )
 
 
-def _esq_diag(E: jnp.ndarray, free: jnp.ndarray) -> jnp.ndarray:
+def _esq_diag(E, free: jnp.ndarray) -> jnp.ndarray:
     """diag(E_f^T E_f): per-column squared norms over free columns."""
+    if sparse_ops.is_sparse(E):
+        return sparse_ops.colsq(E) * free.astype(jnp.float32)
     d = jnp.sum(E.astype(jnp.float32) * E.astype(jnp.float32), axis=1)
     return d * free.astype(d.dtype)
 
@@ -187,7 +193,25 @@ def _emv(spec: str, M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     bits) still stalls convergence on some instances.  Three limbs give
     ~24 mantissa bits -- f32-equivalent (verified: a 4th limb changes
     nothing) -- at negligible extra traffic (v is (n,) vs M (m,n)).
-    f32 storage keeps the exact highest-precision path."""
+    f32 storage keeps the exact highest-precision path.
+
+    ``M`` may also be a SparseEll (ops/sparse.py) -- the gather-based
+    O(nnz) path for the very large LP rungs whose dense E exceeds HBM
+    (the reference's Eigen-sparse regime, instance table at
+    cython_solver/LPboxADMMsolver.cpp:2461-2486); stacked specs fall
+    back to one gather per stacked vector."""
+    if sparse_ops.is_sparse(M):
+        if spec == "bmn,bn->bm":
+            return sparse_ops.mv(M, v)
+        if spec == "bmn,bm->bn":
+            return sparse_ops.mtv(M, v)
+        if spec == "bmn,bkn->bkm":
+            return jnp.stack([sparse_ops.mv(M, v[:, k])
+                              for k in range(v.shape[1])], axis=1)
+        if spec == "bmn,bkm->bkn":
+            return jnp.stack([sparse_ops.mtv(M, v[:, k])
+                              for k in range(v.shape[1])], axis=1)
+        raise ValueError(f"unsupported sparse einsum spec {spec!r}")
     if M.dtype == jnp.bfloat16:
         v32 = v.astype(jnp.float32)
         limbs = []
@@ -208,6 +232,8 @@ def _emv(spec: str, M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 def _mv_problem(prob: LpProblem, cfg: SolverConfig) -> LpProblem:
     """Problem view for the solve loop: E in the configured matvec
     storage dtype (cast once, outside the iteration loop)."""
+    if sparse_ops.is_sparse(prob.E):
+        return prob      # sparse values stay f32 (indices dominate traffic)
     if cfg.matvec_dtype == "bfloat16" and prob.E.dtype != jnp.bfloat16:
         return prob._replace(E=prob.E.astype(jnp.bfloat16))
     return prob
@@ -463,9 +489,8 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
     fix_obj = jnp.sum(prob.b * val * newly.astype(dt), axis=-1)
     sum_fix_obj = state.sum_fix_obj + fix_obj                        # :1248-1249
 
-    fixed_contrib = jnp.einsum(
-        "bmn,bn->bm", prob.E, (~free).astype(dt) * fixed_val,
-        preferred_element_type=jnp.float32, precision=HI)
+    fixed_contrib = _emv("bmn,bn->bm", prob.E,
+                         (~free).astype(dt) * fixed_val)
     f_eff = jnp.where(do[:, None], prob.f - fixed_contrib, state.f_eff)  # :1276-1278
 
     # all-fixed or vanishing remaining iterate => converged (:1212-1223)
@@ -473,15 +498,13 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
     empty = jnp.sum(free, axis=-1) == 0
     done = state.done | (do & (empty | (x_free_norm < 1e-3)))
 
-    ex = jnp.einsum("bmn,bn->bm", prob.E, free_f * state.x,
-                    preferred_element_type=jnp.float32, precision=HI)
+    ex = _emv("bmn,bn->bm", prob.E, free_f * state.x)
     ex = jnp.where(do[:, None], ex, state.ex)
     if cfg.linsolve == "woodbury":
         # f32 cast mirrors init_state: G^-1 in bf16 was measured to
         # cost up to 30% objective; guard against a bf16 problem view
         # ever reaching this refactorization (round-2 ADVICE)
-        factor = woodbury.factorize(prob.E.astype(jnp.float32), free,
-                                    _wb_ratio(cfg))
+        factor = woodbury.factorize(_E32(prob.E), free, _wb_ratio(cfg))
         ginv = jnp.where(do[:, None, None], factor.ginv, state.ginv)
     else:
         ginv = state.ginv
@@ -529,8 +552,7 @@ def infeasible_rows(state: LpState, prob: LpProblem) -> jnp.ndarray:
     """Count constraint rows violated by the restored full solution
     (check_infeasible_l2f, :1593-1612)."""
     x_full = solution(state)
-    ex = jnp.einsum("bmn,bn->bm", prob.E, x_full,
-                    preferred_element_type=jnp.float32, precision=HI)
+    ex = _emv("bmn,bn->bm", prob.E, x_full)
     viol = (ex > prob.f) & prob.row_mask
     return jnp.sum(viol, axis=-1)
 
@@ -652,6 +674,14 @@ def solve_auto(prob: LpProblem, cfg: SolverConfig,
     from ..ops import pallas_lp
     if max_iters is None:
         max_iters = cfg.max_iters
+    if sparse_ops.is_sparse(prob.E):
+        # O(nnz) storage: VMEM kernels and bf16 streaming don't apply;
+        # blocked dispatch still pays off (per-block early exit)
+        if prob.batch >= 8 and prob.batch % 8 == 0:
+            st, _ = solve_blocked(prob, cfg, block=8, window=500,
+                                  max_iters=max_iters)
+            return st, "blocked-sparse"
+        return solve(prob, cfg, max_iters=max_iters), "xla-sparse"
     B, m, n = prob.batch, prob.m, prob.n
     e_bytes = 4 * m * n
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -706,6 +736,9 @@ def compact(state: LpState, prob: LpProblem, cfg: SolverConfig,
     have at most ``n_new`` free variables (and, if ``m_new`` is given,
     at most ``m_new`` rows with free support).
     """
+    if sparse_ops.is_sparse(prob.E):
+        raise ValueError("compact requires a dense E (column gather); "
+                         "sparse problems iterate mask-based")
     B, n = state.x.shape
     order = jnp.argsort(~state.free, axis=-1, stable=True)   # free first
     idx = order[:, :n_new]
@@ -831,8 +864,7 @@ def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
     any gap comparison (reporting semantics must match).
     """
     sols = jnp.stack([sol_last, sol_best], axis=1)          # (B, 2, n)
-    ex = jnp.einsum("bmn,bkn->bkm", prob.E, sols,
-                    preferred_element_type=jnp.float32, precision=HI)
+    ex = _emv("bmn,bkn->bkm", prob.E, sols)
     viol = (ex > prob.f[:, None]) & prob.row_mask[:, None]
     infeas = jnp.sum(viol, axis=-1)                          # (B, 2)
     obj = jnp.einsum("bn,bkn->bk", prob.b, sols,
@@ -844,6 +876,11 @@ def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
     obj_sel = jnp.take_along_axis(obj, k[:, None], axis=1)[:, 0]
     inf_sel = jnp.take_along_axis(infeas, k[:, None], axis=1)[:, 0]
     if repair_rounds or swap_rounds:
+        if sparse_ops.is_sparse(prob.E):
+            raise ValueError(
+                "greedy/swap repair needs a dense E (per-column slack "
+                "comparisons); call select_solution without repair on "
+                "sparse problems")
         from ..ops.repair import greedy_repair, swap_repair
         if repair_rounds:
             sol = greedy_repair(prob, sol, rounds=repair_rounds)

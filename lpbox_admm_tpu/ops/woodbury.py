@@ -38,17 +38,26 @@ class WoodburyFactor(NamedTuple):
     # E_f E_f^T u = (G - ratio I) u = E rhs - ratio u (core/lp.step).
 
 
-def factorize(E: jnp.ndarray, free: jnp.ndarray, ratio: float) -> WoodburyFactor:
+def factorize(E, free: jnp.ndarray, ratio: float) -> WoodburyFactor:
     """Invert ``G = ratio * I + E_f E_f^T`` for the current free mask.
 
     Args:
-      E: (B, m, n) dense constraint matrix (padded rows are zero).
+      E: (B, m, n) dense constraint matrix (padded rows are zero), or a
+        ``ops.sparse.SparseEll`` (the Gram matrix is then built by
+        per-column outer-product scatter -- an O(nnz * K) one-time
+        cost, so the exact Woodbury x-update works at sparse-ladder
+        scale where dense E would not fit HBM).
       free: (B, n) bool mask of free (not fixed) columns.
       ratio: ``(rho1 + rho2) / rho4`` (constant = 2 for the LP preset).
     """
-    Ef = E * free[:, None, :].astype(E.dtype)
-    G = jnp.einsum("bmn,bkn->bmk", Ef, Ef,
-                   preferred_element_type=jnp.float32, precision=HI)
+    from . import sparse as sparse_ops
+
+    if sparse_ops.is_sparse(E):
+        G = sparse_ops.gram(E, free)
+    else:
+        Ef = E * free[:, None, :].astype(E.dtype)
+        G = jnp.einsum("bmn,bkn->bmk", Ef, Ef,
+                       preferred_element_type=jnp.float32, precision=HI)
     m = G.shape[-1]
     G = G + ratio * jnp.eye(m, dtype=G.dtype)
     chol = jnp.linalg.cholesky(G)

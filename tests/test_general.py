@@ -153,6 +153,112 @@ def test_apply_fix_fold_in(rng):
     assert obj - best <= 0.5 * (abs(best) + 1.0), (obj, best)
 
 
+def _coo_of(M, tol=1e-12):
+    rows, cols = np.nonzero(np.abs(M) > tol)
+    return rows, cols, M[rows, cols].astype(np.float32)
+
+
+def test_sparse_general_matches_dense(rng):
+    """SparseEll A/C/E path equals the dense path on the same problem
+    (eq + ineq; converged objectives compared -- iterates are
+    chaotic)."""
+    n = 12
+    B = 2
+    As, bs = [], []
+    for _ in range(B):
+        A, b = random_qp(rng, n)
+        A[np.abs(A) < 0.4] = 0.0            # sparsify, keep symmetry
+        As.append(A)
+        bs.append(b)
+    A = np.stack(As)
+    b = np.stack(bs).astype(np.float32)
+    C = np.ones((B, 1, n), np.float32)
+    d = np.full((B, 1), 4.0, np.float32)
+    E = np.zeros((B, 1, n), np.float32)
+    E[:, 0, : n // 2] = 1.0
+    f = np.full((B, 1), 3.0, np.float32)
+
+    dprob = general.make_general(A=A, b=b, C=C, d=d, E=E, f=f)
+    sprob = general.make_sparse_general(
+        b, A_coo=[_coo_of(A[i]) for i in range(B)],
+        C_coo=[_coo_of(C[i]) for i in range(B)], d=d,
+        E_coo=[_coo_of(E[i]) for i in range(B)], f=f)
+
+    dst = general.solve(dprob, CFG, window=50)
+    sst = general.solve(sprob, CFG, window=50)
+    dobj = np.asarray(general.objective(dst, dprob))
+    sobj = np.asarray(general.objective(sst, sprob))
+    seq, sineq = general.constraint_violation(sst, sprob)
+    assert np.all(np.asarray(sineq) == 0)
+    assert np.all(np.asarray(seq) < 1.0)
+    denom = np.abs(dobj) + 1.0
+    assert np.all(np.abs(sobj - dobj) / denom < 0.1), (sobj, dobj)
+
+
+def test_sparse_general_brute_force(rng):
+    """Sparse path quality vs the exhaustive optimum (small n)."""
+    n = 10
+    A, b = random_qp(rng, n)
+    A[np.abs(A) < 0.3] = 0.0
+    C = np.ones((1, n))
+    d = np.array([4.0])
+    prob = general.make_sparse_general(
+        b[None].astype(np.float32), A_coo=[_coo_of(A)],
+        C_coo=[_coo_of(C)], d=d[None])
+    st = general.solve(prob, CFG, window=50)
+    x = np.asarray(general.solution(st))[0]
+    assert x.sum() == pytest.approx(4.0), x
+    obj = float(general.objective(st, prob)[0])
+    opt, _ = brute_force(A, b, C, d)
+    assert obj >= opt - 1e-4
+    assert obj - opt <= 0.5 * (abs(opt) + 1.0), (obj, opt)
+
+
+def test_sparse_general_100k_vars():
+    """1e5-variable eq+ineq problem with a sparse quadratic term solves
+    through the O(nnz) path (the reference's Eigen-sparse ADMM_bqp
+    regime, Seg cpp:1384-1834; dense A would need 40 GB)."""
+    rng = np.random.RandomState(7)
+    n = 100_000
+    # chain graph Laplacian-style A = D - W (PSD, ~3 nnz/row)
+    wgt = rng.rand(n - 1).astype(np.float32) * 2.0
+    rows = np.concatenate([np.arange(n - 1), np.arange(1, n),
+                           np.arange(n)])
+    cols = np.concatenate([np.arange(1, n), np.arange(n - 1),
+                           np.arange(n)])
+    deg = np.zeros(n, np.float32)
+    np.add.at(deg, np.arange(n - 1), wgt)
+    np.add.at(deg, np.arange(1, n), wgt)
+    vals = np.concatenate([-wgt, -wgt, deg])
+    b = ((rng.rand(n) - 0.45) * 4).astype(np.float32)
+    # eq: sum x = 42000; ineq: at most 20000 ones in the first half.
+    # Rows are NORMALIZED to unit norm (mathematically equivalent):
+    # an unnormalized 1e5-wide cardinality row makes the dual force
+    # rho3*z3 dwarf b by ~4 orders of magnitude and the ADMM
+    # oscillates instead of converging.
+    sC = 1.0 / np.sqrt(n)
+    sE = 1.0 / np.sqrt(n // 2)
+    C = np.full((1, n), sC)
+    d = np.array([42000.0 * sC])
+    E = np.zeros((1, n))
+    E[0, : n // 2] = sE
+    f = np.array([20000.0 * sE])
+    prob = general.make_sparse_general(
+        b[None], A_coo=[(rows, cols, vals)],
+        C_coo=[_coo_of(C)], d=d[None],
+        E_coo=[_coo_of(E)], f=f[None])
+    cfg = CFG.replace(max_iters=1500)
+    st = general.solve(prob, cfg, window=100)
+    assert bool(np.asarray(st.done)[0])          # converged, not capped
+    x = np.asarray(general.solution(st))[0]
+    assert set(np.unique(x)).issubset({0.0, 1.0})
+    eq, ineq = general.constraint_violation(st, prob)
+    assert abs(float(np.asarray(eq)[0]) / sC) < 0.01 * 42000
+    assert float(np.asarray(ineq)[0]) == 0
+    obj = float(np.asarray(general.objective(st, prob))[0])
+    assert np.isfinite(obj) and obj < 0          # found the good vars
+
+
 def _grid_weights(rng, B, H, W):
     """Random nonneg symmetric 8-neighbour weights for a (H, W) grid."""
     from lpbox_admm_tpu.ops.stencil import OFFSETS

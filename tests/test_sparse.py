@@ -1,0 +1,185 @@
+"""ops/sparse.py: ELL layout vs dense reference on random batches."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lpbox_admm_tpu.ops import sparse
+
+
+def _random_coo(rng, m, n, density=0.15):
+    mask = rng.rand(m, n) < density
+    rows, cols = np.nonzero(mask)
+    vals = rng.randn(len(rows)).astype(np.float32)
+    return rows, cols, vals
+
+
+def _dense_of(coo, m, n):
+    D = np.zeros((m, n), np.float32)
+    D[coo[0], coo[1]] = coo[2]
+    return D
+
+
+def test_mv_mtv_match_dense():
+    rng = np.random.RandomState(0)
+    B, m, n = 3, 7, 13
+    coos = [_random_coo(rng, m, n) for _ in range(B)]
+    D = np.stack([_dense_of(c, m, n) for c in coos])
+    S = sparse.from_coo(coos, (m, n))
+    v = rng.randn(B, n).astype(np.float32)
+    w = rng.randn(B, m).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sparse.mv(S, jnp.asarray(v))),
+                               np.einsum("bmn,bn->bm", D, v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sparse.mtv(S, jnp.asarray(w))),
+                               np.einsum("bmn,bm->bn", D, w),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sparse.to_dense(S)), D,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_from_dense_roundtrip():
+    rng = np.random.RandomState(1)
+    D = rng.randn(2, 5, 9).astype(np.float32)
+    D[np.abs(D) < 0.8] = 0.0
+    S = sparse.from_dense(D)
+    np.testing.assert_allclose(np.asarray(sparse.to_dense(S)), D,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_colsq_rowsq_diag():
+    rng = np.random.RandomState(2)
+    B, nsq = 2, 8
+    coos = [_random_coo(rng, nsq, nsq, 0.3) for _ in range(B)]
+    D = np.stack([_dense_of(c, nsq, nsq) for c in coos])
+    S = sparse.from_coo(coos, (nsq, nsq))
+    np.testing.assert_allclose(np.asarray(sparse.colsq(S)),
+                               (D ** 2).sum(axis=1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sparse.rowsq(S)),
+                               (D ** 2).sum(axis=2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sparse.diag(S)),
+                               np.stack([np.diag(D[b]) for b in range(B)]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gram_masked():
+    rng = np.random.RandomState(3)
+    B, m, n = 2, 6, 11
+    coos = [_random_coo(rng, m, n, 0.25) for _ in range(B)]
+    D = np.stack([_dense_of(c, m, n) for c in coos])
+    S = sparse.from_coo(coos, (m, n))
+    free = rng.rand(B, n) > 0.3
+    Df = D * free[:, None, :]
+    want = np.einsum("bmn,bkn->bmk", Df, Df)
+    got = np.asarray(sparse.gram(S, jnp.asarray(free)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    got_unmasked = np.asarray(sparse.gram(S))
+    np.testing.assert_allclose(got_unmasked,
+                               np.einsum("bmn,bkn->bmk", D, D),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lp_sparse_matches_dense_woodbury():
+    """core/lp with SparseEll E computes the SAME iteration as the
+    dense path: pointwise x agreement over a short window (before
+    chaotic divergence sets in, CLAUDE.md), batch-mean converged
+    objective within a few %, and feasibility.  Exercises the sparse
+    Gram Woodbury factorization."""
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+
+    rng = np.random.RandomState(11)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(6)]
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    dprob = ca.make_problem(insts)
+    sprob = ca.make_sparse_problem(insts)
+    # pointwise: 20 iterations, identical math modulo summation order
+    dst = lp.init_state(dprob, cfg)
+    sst = lp.init_state(sprob, cfg)
+    dst, _ = lp.solve_window(dst, dprob, cfg, 20, record=False)
+    sst, _ = lp.solve_window(sst, sprob, cfg, 20, record=False)
+    np.testing.assert_allclose(np.asarray(sst.x), np.asarray(dst.x),
+                               rtol=2e-3, atol=2e-3)
+    # converged: mean objective parity (per-instance roundings are
+    # chaotic; individual instances legitimately land on different
+    # local solutions)
+    dst = lp.solve(dprob, cfg, window=100)
+    sst = lp.solve(sprob, cfg, window=100)
+    dobj = np.asarray(lp.objective(dst))
+    sobj = np.asarray(lp.objective(sst))
+    assert np.all(np.asarray(lp.infeasible_rows(sst, sprob)) == 0)
+    assert abs(sobj.mean() - dobj.mean()) / (abs(dobj.mean()) + 1.0) \
+        < 0.05, (sobj, dobj)
+
+
+def test_lp_sparse_matches_dense_cg():
+    """Same through the CG path (the sparse matvec closure)."""
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+
+    rng = np.random.RandomState(12)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(4)]
+    cfg = LP_CONFIG.replace(linsolve="cg")
+    dprob = ca.make_problem(insts)
+    sprob = ca.make_sparse_problem(insts)
+    dst = lp.init_state(dprob, cfg)
+    sst = lp.init_state(sprob, cfg)
+    dst, _ = lp.solve_window(dst, dprob, cfg, 20, record=False)
+    sst, _ = lp.solve_window(sst, sprob, cfg, 20, record=False)
+    np.testing.assert_allclose(np.asarray(sst.x), np.asarray(dst.x),
+                               rtol=2e-3, atol=2e-3)
+    dst = lp.solve(dprob, cfg, window=100, max_iters=12000)
+    sst = lp.solve(sprob, cfg, window=100, max_iters=12000)
+    dobj = np.asarray(lp.objective(dst))
+    sobj = np.asarray(lp.objective(sst))
+    assert np.all(np.asarray(lp.infeasible_rows(sst, sprob)) == 0)
+    assert abs(sobj.mean() - dobj.mean()) / (abs(dobj.mean()) + 1.0) \
+        < 0.05, (sobj, dobj)
+
+
+def test_lp_sparse_apply_fix():
+    """apply_fix folds fixed columns into f_eff identically through the
+    sparse matvec; select_solution (no repair) works on sparse E."""
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+
+    rng = np.random.RandomState(13)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(2)]
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    dprob = ca.make_problem(insts)
+    sprob = ca.make_sparse_problem(insts)
+    dst = lp.init_state(dprob, cfg)
+    sst = lp.init_state(sprob, cfg)
+    dst, _ = lp.solve_window(dst, dprob, cfg, 50, record=False)
+    sst, _ = lp.solve_window(sst, sprob, cfg, 50, record=False)
+    n = dprob.n
+    vec = np.full((2, n), -1.0, np.float32)
+    vec[:, :10] = 0.0
+    vec[:, 3] = 1.0
+    dst2 = lp.apply_fix(dst, dprob, jnp.asarray(vec), cfg, min_fix=0)
+    sst2 = lp.apply_fix(sst, sprob, jnp.asarray(vec), cfg, min_fix=0)
+    np.testing.assert_allclose(np.asarray(sst2.f_eff),
+                               np.asarray(dst2.f_eff),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sst2.sum_fix_obj),
+                               np.asarray(dst2.sum_fix_obj),
+                               rtol=1e-5, atol=1e-5)
+    # finish the solve; select without repair works on sparse
+    sst2, _ = lp.solve_window(sst2, sprob, cfg, 3000, record=False)
+    sol, obj, inf = lp.select_solution(
+        sprob, lp.solution(sst2), lp.solution_best(sst2))
+    assert np.all(np.asarray(inf) == 0)
+
+
+def test_empty_block():
+    S = sparse.empty(2, 0, 5)
+    out = sparse.mv(S, jnp.ones((2, 5)))
+    assert out.shape == (2, 0)
+    out_t = sparse.mtv(S, jnp.zeros((2, 0)))
+    np.testing.assert_array_equal(np.asarray(out_t), np.zeros((2, 5)))
