@@ -52,6 +52,10 @@ def parse_args():
                    help="domino (two-pixel) flip descent sweeps after "
                         "the ICM polish, both sides "
                         "(ops/repair.pair_descent; 0 = off)")
+    p.add_argument("-compact", type=int, default=1,
+                   help="physically compact the l2f residual problem "
+                        "between windows in -phase test (the reference's "
+                        "Ma/Mb shrink; 0 = masked full-grid iteration)")
     return p.parse_args()
 
 
@@ -157,9 +161,14 @@ def main():
             args.save_dir, "checkpoint", "best_checkpoint.npz")
         ts = trainer.load(path)
         t0 = time.time()
-        state = l2f.l2f_solve(eval_prob, model, trainer.variables(ts),
-                              cfg, pcfg, ws=args.ws,
-                              max_iter=args.max_eval_iters)
+        if args.compact:
+            state = l2f.l2f_solve_compact_qp(
+                eval_prob, model, trainer.variables(ts), cfg, pcfg,
+                ws=args.ws, max_iter=args.max_eval_iters)
+        else:
+            state = l2f.l2f_solve(eval_prob, model, trainer.variables(ts),
+                                  cfg, pcfg, ws=args.ws,
+                                  max_iter=args.max_eval_iters)
         jax.block_until_ready(state.x)
         wall = time.time() - t0
         m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,

@@ -510,3 +510,71 @@ def solve(prob: GeneralProblem, cfg: SolverConfig,
         return s
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def compact_sparse(state: GeneralState, prob: GeneralProblem,
+                   n_new: int):
+    """Re-compact a flat UNCONSTRAINED sparse-A problem to ``n_new``
+    columns (bucketed), gathering free variables (plus fixed padding).
+
+    Used by the compacted segmentation l2f path (core/qp.compact makes
+    the first grid->flat compaction; this shrinks again as later
+    windows fix more variables).  ELL rows are gathered and their
+    column indices remapped through the inverse permutation; entries
+    pointing at non-free variables are zeroed -- their contribution is
+    already folded into ``b_eff``, which becomes the compacted
+    problem's ``b`` (the same invariant as core/lp.compact).
+
+    Returns ``(state', prob', idx)`` with ``idx`` (B, n_new) mapping
+    new slots to OLD slots (compose with the previous map to reach
+    original indices).
+    """
+    from ..ops import sparse as sparse_ops
+
+    if prob.d.shape[-1] != 0 or prob.f.shape[-1] != 0:
+        raise ValueError("compact_sparse supports unconstrained "
+                         "problems only (C/E zero-row)")
+    if not sparse_ops.is_sparse(prob.A):
+        raise ValueError("compact_sparse requires a SparseEll A")
+    B, n = state.x.shape
+    order = jnp.argsort(~state.free, axis=-1, stable=True)
+    idx = order[:, :n_new].astype(jnp.int32)
+    slots = jnp.arange(n_new, dtype=jnp.int32)
+    inv = jnp.full((B, n), 0, jnp.int32)
+    inv = jax.vmap(lambda iv, ix: iv.at[ix].set(slots))(inv, idx)
+
+    def take(a):
+        return jax.vmap(lambda ab, ib: ab[ib])(a, idx)
+
+    free_c = take(state.free)
+    A = prob.A
+    ri_old = jax.vmap(lambda r, ib: r[ib])(A.row_idx, idx)  # (B,n_new,K)
+    rv_old = jax.vmap(lambda r, ib: r[ib])(A.row_val, idx)
+    tgt_free = jax.vmap(lambda fb, q: fb[q.reshape(-1)].reshape(q.shape)
+                        )(state.free, ri_old)
+    valid = free_c[:, :, None] & tgt_free
+    ri = jnp.where(valid,
+                   jax.vmap(lambda iv, q: iv[q.reshape(-1)]
+                            .reshape(q.shape))(inv, ri_old), 0)
+    rv = jnp.where(valid, rv_old, 0.0)
+    A2 = sparse_ops.SparseEll(row_idx=ri, row_val=rv,
+                              col_idx=ri, col_val=rv)
+
+    b_c = take(state.b_eff)
+    zr = jnp.zeros((B, 0), jnp.float32)
+    prob2 = GeneralProblem(
+        A=A2, b=b_c, C=jnp.zeros((B, 0, n_new), jnp.float32), d=zr,
+        E=jnp.zeros((B, 0, n_new), jnp.float32), f=zr, var_mask=free_c)
+    state2 = state._replace(
+        x=take(state.x), y1=take(state.y1), y2=take(state.y2),
+        z1=take(state.z1), z2=take(state.z2),
+        free=free_c, fixed_val=take(state.fixed_val), b_eff=b_c,
+        best_sol=take(state.best_sol), x_prev=take(state.x_prev),
+        fix_count=take(state.fix_count))
+    return state2, prob2, idx
+
+
+def solution_best(state: GeneralState) -> jnp.ndarray:
+    """Rounding of the best incumbent iterate, fixed values restored."""
+    rounded = (state.best_sol >= 0.5).astype(state.x.dtype)
+    return jnp.where(state.free, rounded, state.fixed_val)

@@ -294,9 +294,19 @@ def select_solution(state: QpState, prob: QpProblem,
     the selected rounding is further polished by the 4-coloured
     one-flip descent (ops/repair.icm_descent), which never increases
     the energy.  Returns (sol, energy)."""
-    mask = prob.mask.astype(state.x.dtype)
-    sols = jnp.stack([solution(state) * mask,
-                      solution_best(state) * mask], axis=1)  # (B,2,H,W)
+    return select_from_sols(prob, solution(state), solution_best(state),
+                            repair_sweeps=repair_sweeps,
+                            pair_sweeps=pair_sweeps)
+
+
+def select_from_sols(prob: QpProblem, sol_last: jnp.ndarray,
+                     sol_best: jnp.ndarray,
+                     repair_sweeps: int = 0, pair_sweeps: int = 0):
+    """select_solution on precomputed full-grid candidate solutions
+    (used by the compacted l2f path, whose solver state is flat)."""
+    mask = prob.mask.astype(sol_last.dtype)
+    sols = jnp.stack([sol_last * mask,
+                      sol_best * mask], axis=1)              # (B,2,H,W)
 
     def en(x):
         ax = prob.stencil.a_matvec(x)
@@ -354,3 +364,106 @@ def solve(prob: QpProblem, cfg: SolverConfig,
         return s
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def compact(state: QpState, prob: QpProblem, cfg: SolverConfig,
+            n_new: int):
+    """Gather free pixels into a flat compacted unconstrained QP whose
+    A is a 9-nnz/row SparseEll, consumed by ``core.general``.
+
+    The TPU-native equivalent of the reference's Ma/Mb physical shrink
+    (Seg LPboxADMMsolver.cpp:1048-1057), which this mask-based core
+    otherwise forgoes: after the policy fixes most pixels, the masked
+    grid iteration still streams the full stencil.  Here the free
+    pixels (plus fixed padding up to the static bucket ``n_new``) are
+    gathered into a flat problem; the stencil rows restricted to
+    free-free pairs become ELL rows built entirely in-jit (the grid
+    neighbour structure is static), and fixed-neighbour contributions
+    stay folded in ``b_eff``.
+
+    Entries pointing at non-free (padding) slots are ZEROED -- their
+    contribution is already inside the gathered ``b_eff``, and
+    ``general.apply_fix`` recomputes ``b_eff`` from the compacted
+    problem's b, so live columns must be exactly the free ones (same
+    invariant as core/lp.compact).
+
+    Returns ``(gstate, gprob, idx)`` where ``idx`` (B, n_new) maps
+    compacted slots to flat grid positions; scatter back with
+    :func:`scatter_solution`.  Requires every instance to have at most
+    ``n_new`` free pixels.
+    """
+    from . import general
+    from ..ops import sparse as sparse_ops
+    from ..ops.stencil import OFFSETS
+
+    B, H, W = state.x.shape
+    n = H * W
+    dt = state.x.dtype
+    free_flat = state.free.reshape(B, n)
+    order = jnp.argsort(~free_flat, axis=-1, stable=True)
+    idx = order[:, :n_new].astype(jnp.int32)       # slot -> grid pos
+    slots = jnp.arange(n_new, dtype=jnp.int32)
+    inv = jnp.full((B, n), 0, jnp.int32)           # grid pos -> slot
+    inv = jax.vmap(lambda iv, ix: iv.at[ix].set(slots))(inv, idx)
+
+    def take(a):                                   # (B,H,W) -> (B,n_new)
+        return jax.vmap(lambda ab, ib: ab.reshape(-1)[ib])(a, idx)
+
+    def gat(flat, q):                              # flat (B,n) at q (B,n_new)
+        return jax.vmap(lambda fb, qb: fb[qb])(flat, q)
+
+    free_c = take(state.free)
+    r, c = idx // W, idx % W
+
+    # --- 9-entry ELL rows: diag + 8 neighbours ---------------------------
+    row_i = [slots[None, :].repeat(B, axis=0)]
+    row_v = [jnp.where(free_c, take(prob.stencil.degree), 0.0)]
+    for d, (dr, dc) in enumerate(OFFSETS):
+        qr, qc = r + dr, c + dc
+        inb = (qr >= 0) & (qr < H) & (qc >= 0) & (qc < W)
+        q = jnp.clip(qr, 0, H - 1) * W + jnp.clip(qc, 0, W - 1)
+        nb_free = gat(free_flat, q) & inb
+        slot_q = gat(inv, q)
+        w_d = take(prob.stencil.weights[:, d])
+        valid = free_c & nb_free
+        row_i.append(jnp.where(valid, slot_q, 0))
+        row_v.append(jnp.where(valid, -w_d, 0.0))
+    ri = jnp.stack(row_i, axis=-1)                 # (B, n_new, 9)
+    rv = jnp.stack(row_v, axis=-1).astype(jnp.float32)
+    # A is symmetric: the row layout doubles as the column layout
+    A = sparse_ops.SparseEll(row_idx=ri, row_val=rv,
+                             col_idx=ri, col_val=rv)
+
+    b_c = take(state.b_eff)
+    zr = jnp.zeros((B, 0), jnp.float32)
+    gprob = general.GeneralProblem(
+        A=A, b=b_c, C=jnp.zeros((B, 0, n_new), jnp.float32), d=zr,
+        E=jnp.zeros((B, 0, n_new), jnp.float32), f=zr, var_mask=free_c)
+    gstate = general.GeneralState(
+        x=take(state.x), y1=take(state.y1), y2=take(state.y2),
+        y3=zr, z1=take(state.z1), z2=take(state.z2), z3=zr, z4=zr,
+        free=free_c, fixed_val=take(state.fixed_val), b_eff=b_c,
+        d_eff=zr, f_eff=zr,
+        obj_ring=state.obj_ring, obj_count=state.obj_count,
+        it=state.it, done=state.done,
+        cg_fail=jnp.zeros((B,), bool),
+        cur_obj=state.cur_obj, best_bin_obj=state.best_bin_obj,
+        best_sol=take(state.best_sol), x_prev=take(state.x_prev),
+        fix_count=take(state.fix_count))
+    return gstate, gprob, idx
+
+
+def scatter_solution(sol_c: jnp.ndarray, idx: jnp.ndarray,
+                     fixed_val_full: jnp.ndarray,
+                     free_full: jnp.ndarray) -> jnp.ndarray:
+    """Reassemble the (B, H, W) solution after compaction.
+
+    ``fixed_val_full``/``free_full`` are the full-grid fixing snapshot
+    at compaction time; compacted slots overwrite their grid positions
+    (Seg get_x_sol scatter, :895-915).
+    """
+    B, H, W = free_full.shape
+    base = jnp.where(free_full, 0.0, fixed_val_full).reshape(B, -1)
+    out = jax.vmap(lambda fb, ib, vb: fb.at[ib].set(vb))(base, idx,
+                                                         sol_c)
+    return out.reshape(B, H, W)

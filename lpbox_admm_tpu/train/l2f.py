@@ -129,6 +129,148 @@ def l2f_solve(prob, model, variables, cfg: SolverConfig,
     return jax.lax.while_loop(cond, body, state)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "pcfg", "ws",
+                                              "row_chunk"))
+def _qp_policy_window(state, prob, variables, model, cfg, pcfg, ws,
+                      row_chunk):
+    """One [grid solver window -> policy -> fix] round (jitted)."""
+    state, traj = qp.solve_window(state, prob, cfg, ws, record=True)
+    rows = traj.reshape(-1, ws)
+    sig = policy_scores(model, variables, rows, pcfg, row_chunk)
+    vec = scores_to_vec(sig, pcfg.fix_confidence).reshape(state.x.shape)
+    state = qp.apply_fix(state, prob, vec, cfg)
+    return state, jnp.max(jnp.sum(state.free, axis=(-2, -1))), \
+        jnp.all(state.done)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "pcfg", "ws",
+                                              "row_chunk"))
+def _flat_policy_window(gstate, gprob, variables, model, cfg, pcfg, ws,
+                        row_chunk):
+    """Same round on the compacted flat problem (core.general)."""
+    gstate, traj = general.solve_window(gstate, gprob, cfg, ws,
+                                        record=True)
+    rows = traj.reshape(-1, ws)
+    sig = policy_scores(model, variables, rows, pcfg, row_chunk)
+    vec = scores_to_vec(sig, pcfg.fix_confidence).reshape(gstate.x.shape)
+    gstate = general.apply_fix(gstate, gprob, vec, cfg)
+    return gstate, jnp.max(jnp.sum(gstate.free, axis=-1)), \
+        jnp.all(gstate.done)
+
+
+_qp_compact_jit = jax.jit(qp.compact,
+                          static_argnames=("cfg", "n_new"))
+_general_compact_jit = jax.jit(general.compact_sparse,
+                               static_argnames=("n_new",))
+
+
+@jax.jit
+def _qp_reassemble(gstate, idx, free_full, fixed_full, state0, prob):
+    """Scatter the compacted flat state back into a full-grid QpState
+    (drop-in for the l2f_solve return value; one dispatch)."""
+    B, H, W = free_full.shape
+    n = H * W
+
+    def scat(vec_c, base_flat):
+        out = jax.vmap(lambda fb, ib, vb: fb.at[ib].set(vb))(
+            base_flat, idx, vec_c)
+        return out.reshape(B, H, W)
+
+    zeros = jnp.zeros((B, n), gstate.x.dtype)
+    free_new = scat(gstate.free, jnp.zeros((B, n), bool))
+    fixed_new = scat(gstate.fixed_val, fixed_full.reshape(B, n))
+    x_full = scat(gstate.x, zeros)
+    best_full = scat(gstate.best_sol, zeros)
+    xprev_full = scat(gstate.x_prev, zeros)
+    dt = gstate.x.dtype
+    b_eff = prob.b + 2.0 * prob.stencil.a_matvec(
+        (~free_new).astype(dt) * fixed_new)
+    return state0._replace(
+        x=x_full, y1=scat(gstate.y1, zeros), y2=scat(gstate.y2, zeros),
+        z1=scat(gstate.z1, zeros), z2=scat(gstate.z2, zeros),
+        free=free_new, fixed_val=fixed_new, b_eff=b_eff,
+        obj_ring=gstate.obj_ring, obj_count=gstate.obj_count,
+        it=gstate.it, done=gstate.done,
+        cur_obj=gstate.cur_obj, best_bin_obj=gstate.best_bin_obj,
+        best_sol=best_full, x_prev=xprev_full,
+        fix_count=scat(gstate.fix_count.astype(jnp.int32),
+                       jnp.zeros((B, n), jnp.int32)))
+
+
+def _bucket(count: int, lo: int, hi: int) -> int:
+    b = lo
+    while b < count:
+        b *= 2
+    return min(b, hi)
+
+
+def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
+                         pcfg: PolicyConfig, ws: int = 10,
+                         max_iter: Optional[int] = None,
+                         min_bucket: int = 1024,
+                         recompact: bool = True,
+                         row_chunk: int = 8192):
+    """Segmentation l2f solve with physical compaction between windows.
+
+    ``l2f_solve`` iterates masked at full grid size forever, so its
+    speedup is iteration-count only; the reference's Ma/Mb shrink drops
+    the per-iteration cost as pixels fix (Seg LPboxADMMsolver.cpp
+    :1048-1057).  This restores that the TPU way (VERDICT r2 item 5):
+
+    1. window 1 runs on the (B, H, W) grid (policy scoring + fixing);
+    2. the free pixels are gathered into a flat power-of-two bucket
+       with a 9-nnz/row SparseEll A (``qp.compact``) -- ONE host fetch
+       decides the static bucket;
+    3. later windows run on the compacted problem through
+       ``core.general`` (identical update math, verified pointwise in
+       tests), re-compacting when the free count halves again;
+    4. the final state is scattered back into a full-grid ``QpState``,
+       so all reporting (qp.select_solution / l2f_metrics_qp) is
+       unchanged.
+
+    Returns the same full-grid QpState as ``l2f_solve``.
+    """
+    if max_iter is None:
+        max_iter = cfg.max_iters
+    H, W = prob.grid
+    n = H * W
+    windows = max(1, max_iter // ws)
+    state = qp.init_state(prob, cfg)
+    state, max_free, all_done = _qp_policy_window(
+        state, prob, variables, model, cfg, pcfg, ws, row_chunk)
+    mf, done0 = jax.device_get((max_free, all_done))
+    if windows == 1 or bool(done0):
+        return state
+    n_b = _bucket(int(mf), min_bucket, n)
+    if n_b >= n:
+        # nothing to gain; stay on the grid
+        for _ in range(windows - 1):
+            state, _, all_done = _qp_policy_window(
+                state, prob, variables, model, cfg, pcfg, ws, row_chunk)
+            if bool(jax.device_get(all_done)):
+                break
+        return state
+
+    state0 = state
+    free_full, fixed_full = state.free, state.fixed_val
+    gstate, gprob, idx = _qp_compact_jit(state, prob, cfg, n_b)
+    for w in range(1, windows):
+        gstate, max_free, all_done = _flat_policy_window(
+            gstate, gprob, variables, model, cfg, pcfg, ws, row_chunk)
+        if bool(jax.device_get(all_done)):
+            break
+        if recompact and w < windows - 1:
+            mf = int(jax.device_get(max_free))
+            n_b2 = _bucket(mf, min_bucket, n_b)
+            if n_b2 <= n_b // 2:
+                gstate, gprob, idx2 = _general_compact_jit(
+                    gstate, gprob, n_b2)
+                idx = jnp.take_along_axis(idx, idx2, axis=-1)
+                n_b = n_b2
+    return _qp_reassemble(gstate, idx, free_full, fixed_full, state0,
+                          prob)
+
+
 def l2f_metrics(state: lp.LpState, prob: LpProblem,
                 oracle_obj: jnp.ndarray,
                 labels: Optional[jnp.ndarray] = None) -> dict:

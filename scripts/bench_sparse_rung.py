@@ -1,0 +1,152 @@
+"""Sparse-E ladder rung beyond (800,4000): CA (1000, 10000) et al.
+
+The reference's instance table carries rungs far past the dense-E
+ladder (up to (2000, 1e6); commented psize table,
+cython_solver/LPboxADMMsolver.cpp:2461-2486), representable only in
+sparse storage (~5 nnz/col).  This benches core/lp with the SparseEll
+E (ops/sparse.py) + sparse-Gram Woodbury on the real TPU chip:
+
+    python scripts/bench_sparse_rung.py [--rung 1000x10000] [--batch 8]
+        [--no-oracle] [--probe]
+
+Dense (B, m, n) E at (2866, 10000) x 8 instances would be 940 MB and
+stream ~2 GB/iteration; the ELL layout is ~2 MB/instance and the
+iteration's HBM traffic is dominated by the (m, m) G^-1 matmul.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+CACHE = os.path.join(ROOT, "bench_cache")
+
+
+def get_instances(n_items, n_bids, batch):
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"ca_{n_items}_{n_bids}_{batch}.npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=True)
+        return list(zip(z["prices"], z["Cs"]))
+    from lpbox_admm_tpu.adapters import ca
+    rng = np.random.RandomState(2207 + n_bids)
+    t0 = time.time()
+    insts = []
+    for i in range(batch):
+        insts.append(ca.generate_cauction(rng, n_items=n_items,
+                                          n_bids=n_bids))
+        print(f"  gen {i + 1}/{batch} ({time.time()-t0:.0f}s)",
+              flush=True)
+    np.savez(path,
+             prices=np.array([p for p, _ in insts], dtype=object),
+             Cs=np.array([C for _, C in insts], dtype=object))
+    return insts
+
+
+def cpu_oracle(n_items, n_bids, inst):
+    path = os.path.join(CACHE, f"cpu_oracle_{n_items}_{n_bids}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    from bench import cpu_reference_solve
+    t0 = time.time()
+    obj, iters = cpu_reference_solve(*inst)
+    out = {"obj": float(obj), "iters": int(iters),
+           "time_s": time.time() - t0}
+    with open(path, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rung", default="1000x10000")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--cap", type=int, default=12000)
+    ap.add_argument("--window", type=int, default=500)
+    ap.add_argument("--no-oracle", action="store_true")
+    ap.add_argument("--probe", action="store_true",
+                    help="fixed-iteration per-step cost probe")
+    args = ap.parse_args()
+    n_items, n_bids = map(int, args.rung.split("x"))
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    insts = get_instances(n_items, n_bids, args.batch)
+    t0 = time.time()
+    prob = ca.make_sparse_problem(insts)
+    E = prob.E
+    print(f"sparse problem: m={E.m} n={E.n} Kr={E.row_idx.shape[-1]} "
+          f"Kc={E.col_idx.shape[-1]} built {time.time()-t0:.1f}s",
+          flush=True)
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+
+    if args.probe:
+        # fixed-iteration cost, immune to early-exit luck
+        # (scripts/probe_iter_cost.py methodology)
+        from lpbox_admm_tpu.utils.profiling import perturb
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("c", "w"))
+        def win(s, p, c, w):
+            s, _ = lp.solve_window(s, p, c, w, record=False)
+            return s
+
+        st = lp.init_state(prob, cfg)
+        st = win(st, prob, cfg, 100)
+        np.asarray(st.x)          # warm compile + run
+        iters = 500
+        best = np.inf
+        for rep in range(3):
+            s2 = st._replace(x=perturb(st.x, rep))
+            t0 = time.time()
+            s2 = win(s2, prob, cfg, iters)
+            np.asarray(s2.x)
+            best = min(best, time.time() - t0)
+        rate = args.batch * iters / best
+        print(f"probe: {iters} iters x {args.batch} inst in {best:.2f}s "
+              f"= {rate:.0f} inst-iters/s", flush=True)
+        return
+
+    t0 = time.time()
+    state, iters = lp.solve_blocked(prob, cfg, block=min(8, args.batch),
+                                    window=args.window,
+                                    max_iters=args.cap)
+    sol, obj, infeas = lp.select_solution(prob, lp.solution(state),
+                                          lp.solution_best(state))
+    obj = np.asarray(obj)
+    infeas = np.asarray(infeas)
+    wall = time.time() - t0
+    print(f"TPU sparse woodbury: {args.batch} inst in {wall:.1f}s = "
+          f"{args.batch / wall:.2f} inst/s; block iters {iters}; "
+          f"mean obj {obj.mean():.1f}; infeasible {int(infeas.sum())}",
+          flush=True)
+
+    if not args.no_oracle:
+        orc = cpu_oracle(n_items, n_bids, insts[0])
+        print(f"CPU f64 oracle inst0: obj {orc['obj']:.1f} in "
+              f"{orc['time_s']:.0f}s ({orc['iters']} iters) -> "
+              f"speedup {orc['time_s'] / (wall / args.batch):.0f}x; "
+              f"inst0 gap {(obj[0] - orc['obj']) / abs(orc['obj']):+.2%}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

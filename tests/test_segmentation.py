@@ -207,6 +207,114 @@ def test_seg_l2f_loop_runs(seg_batch):
     assert set(np.unique(sol)).issubset({0.0, 1.0})
 
 
+def _fix_some(state, prob, rng, frac=0.5):
+    """Randomly fix ``frac`` of the pixels to their rounded value."""
+    H, W = prob.grid
+    B = prob.batch
+    take = rng.rand(B, H, W) < frac
+    val = (np.asarray(state.x) >= 0.5).astype(np.float32)
+    vec = np.where(take, val, -1.0).astype(np.float32)
+    return qp.apply_fix(state, prob, jnp.asarray(vec), SEG_CONFIG,
+                        min_fix=0)
+
+
+def test_qp_compact_sparse_A_matches_dense(seg_batch):
+    """qp.compact's in-jit ELL rows equal the dense A' restricted to
+    free-free pairs at the gathered positions."""
+    from lpbox_admm_tpu.ops import sparse as sparse_ops
+
+    prob = seg_batch
+    rng = np.random.RandomState(3)
+    state = qp.init_state(prob, SEG_CONFIG)
+    state, _ = qp.solve_window(state, prob, SEG_CONFIG, 10, record=False)
+    state = _fix_some(state, prob, rng)
+    H, W = prob.grid
+    n_free = int(np.asarray(state.free.sum(axis=(-2, -1))).max())
+    n_new = 1
+    while n_new < n_free:
+        n_new *= 2
+    gstate, gprob, idx = qp.compact(state, prob, SEG_CONFIG, n_new)
+    Ac = np.asarray(sparse_ops.to_dense(gprob.A))
+    for bi in range(prob.batch):
+        Wm = dense_from_stencil(np.asarray(prob.stencil.weights[bi]))
+        Ad = np.diag(Wm.sum(1)) - Wm
+        ii = np.asarray(idx[bi])
+        free_flat = np.asarray(state.free[bi]).reshape(-1)
+        sub = Ad[np.ix_(ii, ii)]
+        fc = free_flat[ii]
+        sub = sub * fc[:, None] * fc[None, :]    # zero fixed rows/cols
+        np.testing.assert_allclose(Ac[bi], sub, rtol=1e-4, atol=1e-5)
+        # b of the compacted problem is the gathered b_eff
+        np.testing.assert_allclose(
+            np.asarray(gprob.b[bi]),
+            np.asarray(state.b_eff[bi]).reshape(-1)[ii],
+            rtol=1e-5, atol=1e-5)
+
+
+def test_qp_compact_iteration_equivalence(seg_batch):
+    """Iterating the compacted flat problem (core.general) equals the
+    masked full-grid iteration pointwise over a short window."""
+    prob = seg_batch
+    rng = np.random.RandomState(4)
+    state = qp.init_state(prob, SEG_CONFIG)
+    state, _ = qp.solve_window(state, prob, SEG_CONFIG, 10, record=False)
+    state = _fix_some(state, prob, rng)
+    H, W = prob.grid
+    n_free = int(np.asarray(state.free.sum(axis=(-2, -1))).max())
+    n_new = 1
+    while n_new < n_free:
+        n_new *= 2
+    gstate, gprob, idx = qp.compact(state, prob, SEG_CONFIG, n_new)
+
+    ref, _ = qp.solve_window(state, prob, SEG_CONFIG, 8, record=False)
+    got, _ = __import__(
+        "lpbox_admm_tpu.core.general", fromlist=["general"]
+    ).solve_window(gstate, gprob, SEG_CONFIG, 8, record=False)
+
+    x_ref = np.asarray(ref.x)
+    x_got = np.asarray(got.x)
+    for bi in range(prob.batch):
+        ii = np.asarray(idx[bi])
+        fc = np.asarray(gstate.free[bi])
+        np.testing.assert_allclose(
+            x_got[bi][fc], x_ref[bi].reshape(-1)[ii][fc],
+            rtol=5e-3, atol=5e-3)
+    # incumbent bookkeeping stays aligned
+    np.testing.assert_allclose(np.asarray(got.best_bin_obj),
+                               np.asarray(ref.best_bin_obj),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_l2f_compact_qp_matches_l2f_solve(seg_batch):
+    """The compacted seg l2f path returns (near-)identical quality to
+    the full-grid l2f_solve: same reporting interface, energy within
+    1%, pixel agreement >= 99% (f32 summation-order drift on chaotic
+    trajectories prevents exact equality)."""
+    prob = seg_batch
+    cfg = SEG_CONFIG
+    # C=0.53 makes the untrained policy fix ~half the pixels per window
+    # (its sigmoids sit in [0.45, 0.55]), so the compacted windows are
+    # genuinely exercised
+    pcfg = PolicyConfig(node_size=5, chunk_dim=5, window_mode="sliding",
+                        fix_confidence=0.53)
+    model = build_policy("mlp")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 5)),
+                           train=True)
+    st_a = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=10,
+                         max_iter=30)
+    st_b = l2f.l2f_solve_compact_qp(prob, model, variables, cfg, pcfg,
+                                    ws=10, max_iter=30, min_bucket=64)
+    sol_a, e_a = qp.select_solution(st_a, prob)
+    sol_b, e_b = qp.select_solution(st_b, prob)
+    m = np.asarray(prob.mask)
+    agree = np.asarray(sol_a == sol_b)[m].mean()
+    assert agree >= 0.99, agree
+    ea, eb = np.asarray(e_a), np.asarray(e_b)
+    assert np.all(np.abs(eb - ea) / (np.abs(ea) + 1.0) < 0.01), (ea, eb)
+    # the compact path actually fixed pixels and iterated compacted
+    assert int(np.asarray((~st_b.free) & prob.mask).sum()) > 0
+
+
 def test_save_img(tmp_path, seg_batch):
     prob = seg_batch
     state = qp.solve(prob, SEG_CONFIG, max_iters=200, window=50)
