@@ -137,6 +137,10 @@ def main():
         "xla-noincumbent": plain(base.replace(feasible_incumbent=False)),
         "xla-stride1": plain(base.replace(incumbent_stride=1)),
         "xla-bf16": plain(base.replace(matvec_dtype="bfloat16")),
+        # rule-based fixing baseline (ADMM_lp_iters_fix, LP cpp:
+        # 1689-1950): the paper's natural rule-vs-learned comparison
+        "xla-rule": lambda p: lp.solve(p, base, window=W,
+                                       rule_fixing=True),
         # window=500: each host round-trip over the remote tunnel costs
         # ~ms; short windows make dispatch latency dominate
         "blocked": lambda p: lp.solve_blocked(p, base, block=8,
@@ -211,8 +215,10 @@ def main():
                 p2 = prob._replace(b=prob.b * jnp.asarray(pert))
                 tm = {}
                 t0 = time.time()
+                # time the PERTURBED problem: an identical repeat
+                # request can be served from the axon dedup cache
                 _, out = l2f_mod.l2f_solve_compact(
-                    prob, model, variables, base, pcfg, timings=tm,
+                    p2, model, variables, base, pcfg, timings=tm,
                     **kw)
                 np.asarray(out["solution"])
                 wall = time.time() - t0

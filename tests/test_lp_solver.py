@@ -216,6 +216,48 @@ def test_select_solution_prefers_feasible_incumbent():
     np.testing.assert_array_equal(np.asarray(infeas), 0)
 
 
+def test_rule_fix_vec_counters(small_batch):
+    """rule_fix_vec flags exactly the variables whose iterate moved
+    <= fix_threshold for `consistency` consecutive iterations
+    (ADMM_lp_iters_fix counters, LP cpp:1856-1871)."""
+    insts, prob = small_batch
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    st = lp.init_state(prob, cfg)
+    st, _ = lp.solve_window(st, prob, cfg, 50, record=False,
+                            rule_fixing=True)
+    counts = np.asarray(st.fix_count)
+    vec = np.asarray(lp.rule_fix_vec(st, cfg))
+    free = np.asarray(st.free)
+    flagged = free & (counts >= cfg.consistency)
+    x = np.asarray(st.x)
+    # flagged vars carry round(x); everything else is -1 (leave free)
+    np.testing.assert_array_equal(vec[flagged],
+                                  (x[flagged] >= 0.5).astype(np.float32))
+    assert np.all(vec[~flagged] == -1.0)
+    # without rule_fixing the counters stay zero
+    st2 = lp.init_state(prob, cfg)
+    st2, _ = lp.solve_window(st2, prob, cfg, 50, record=False)
+    assert np.all(np.asarray(st2.fix_count) == 0)
+
+
+def test_lp_rule_fixing_solve(small_batch):
+    """lp.solve(rule_fixing=True) ~ ADMM_lp_iters_fix (LP cpp:1689-1950):
+    fixes variables, stays feasible, and lands within a few % of the
+    plain solve's mean objective."""
+    insts, prob = small_batch
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    st_plain = lp.solve(prob, cfg, window=100)
+    st_rule = lp.solve(prob, cfg, window=100, rule_fixing=True)
+    assert np.all(np.asarray(lp.infeasible_rows(st_rule, prob)) == 0)
+    n_fixed = np.asarray((~st_rule.free) & prob.var_mask).sum(-1)
+    assert n_fixed.max() > 0, "rule fixing never fired"
+    # rule fixing converges in fewer iterations (that is its point)
+    assert int(st_rule.it) <= int(st_plain.it)
+    op = np.asarray(lp.objective(st_plain)).mean()
+    orr = np.asarray(lp.objective(st_rule)).mean()
+    assert (orr - op) / abs(op) < 0.10, (orr, op)
+
+
 def test_greedy_repair():
     """Refill heuristic: takes the fitting improving bids in
     b-descending order, preserves feasibility, never degrades."""

@@ -207,6 +207,24 @@ def test_seg_l2f_loop_runs(seg_batch):
     assert set(np.unique(sol)).issubset({0.0, 1.0})
 
 
+def test_qp_rule_fixing_solve(seg_batch):
+    """qp.solve(rule_fixing=True): the consistency-counter fixing works
+    on the grid core, stays binary, and matches the plain solve's
+    energy to a few %."""
+    prob = seg_batch
+    st_plain = qp.solve(prob, SEG_CONFIG, max_iters=2000, window=50)
+    st_rule = qp.solve(prob, SEG_CONFIG, max_iters=2000, window=50,
+                       rule_fixing=True)
+    n_fixed = np.asarray((~st_rule.free) & prob.mask).sum((-2, -1))
+    assert n_fixed.max() > 0, "rule fixing never fired"
+    assert int(st_rule.it) <= int(st_plain.it)
+    sol = np.asarray(qp.solution(st_rule))
+    assert set(np.unique(sol)).issubset({0.0, 1.0})
+    ep = np.asarray(qp.energy(st_plain, prob))
+    er = np.asarray(qp.energy(st_rule, prob))
+    assert np.all((er - ep) / (np.abs(ep) + 1.0) < 0.10), (er, ep)
+
+
 def _fix_some(state, prob, rng, frac=0.5):
     """Randomly fix ``frac`` of the pixels to their rounded value."""
     H, W = prob.grid
