@@ -37,7 +37,9 @@ def parse_args():
     p.add_argument("-n", type=int, default=8, help="number of images")
     p.add_argument("-image_dir", default=CIFAR_DIR)
     p.add_argument("-victim", default=None,
-                   help="torch cifar_best.pth checkpoint (optional)")
+                   help="victim checkpoint: torch cifar_best.pth or a "
+                        "flax .npz from scripts/train_victim.py "
+                        "(optional; random-init without)")
     p.add_argument("-k", type=int, default=200, help="L0 budget")
     p.add_argument("-segments", type=int, default=150)
     p.add_argument("-maxIter_e", type=int, default=2000)
@@ -110,7 +112,12 @@ def main():
     pcfg = PolicyConfig(net=args.net, node_size=10, chunk_dim=5)
 
     imgs, labels, targets, paths = load_images(args)
-    if args.victim:
+    if args.victim and args.victim.endswith(".npz"):
+        from lpbox_admm_tpu.utils.checkpoint import load_pytree
+        model, variables = init_victim()
+        variables = load_pytree(args.victim, variables)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    elif args.victim:
         model = CifarNet()
         variables = load_torch_checkpoint(args.victim)
     else:
