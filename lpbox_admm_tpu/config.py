@@ -195,6 +195,16 @@ class PolicyConfig:
     # 2 = endpoint + stability gate (additionally the iterate's range
     #     over the window must be < 0.25, the rule-fixing intuition).
     fix_agree_gate: int = 0
+    # Risk-calibrated per-variable confidence (VERDICT r2 item 1): the
+    # objective damage of a locked-in wrong fix scales with |b_j| (a
+    # wrongly-dropped expensive bid is the gap tail), so the confidence
+    # MARGIN (1 - C) shrinks with the variable's within-instance |b|
+    # percentile rank r_j:  margin_j = (1 - C) * (1 - gate * r_j).
+    # gate = 0 reproduces the global threshold; gate = 0.75 tightens
+    # the top-price bid's threshold from 0.98 to 0.995 while leaving
+    # cheap bids at the base confidence (fix volume barely drops).
+    # Oracle-free: |b| is part of the problem statement.
+    damage_gate: float = 0.0
     lr: float = 1e-4
     lr_decay_step: int = 2000
     lr_decay_factor: float = 0.5

@@ -56,6 +56,29 @@ def replicate_pytree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), tree)
 
 
+def host_to_global(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Build GLOBAL ``jax.Array``s from identical host-side numpy
+    pytrees present in every process (the standard multi-process DP
+    ingestion pattern: each process materializes the full batch on
+    host -- or at least its own shard rows -- and contributes the
+    addressable shards).
+
+    Leaves with a leading batch axis shard over ``axis``; rank-0
+    leaves replicate.  In a single-process mesh this degenerates to
+    ``shard_batch_pytree``.
+    """
+    bs = batch_sharding(mesh, axis)
+    rep = replicated(mesh)
+
+    def conv(leaf):
+        arr = np.asarray(leaf)
+        sh = bs if arr.ndim >= 1 else rep
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(conv, tree)
+
+
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):

@@ -85,6 +85,29 @@ def scores_to_vec(sig: jnp.ndarray, confidence: float) -> jnp.ndarray:
                      jnp.where(sig < 1.0 - confidence, 0.0, -1.0))
 
 
+def fix_margins(b: jnp.ndarray, var_mask: jnp.ndarray,
+                pcfg: PolicyConfig) -> jnp.ndarray:
+    """Per-variable confidence margins (B, n): risk-calibrated
+    thresholds (PolicyConfig.damage_gate).
+
+    The margin ``1 - C`` shrinks linearly with the variable's
+    within-instance |b| percentile rank -- the damage of a locked-in
+    wrong fix scales with the bid price, and the objective-gap tail is
+    a handful of wrong fixes on load-bearing bids (STATUS r2 issue 1).
+    A variable fixes to 1 when ``sigma > 1 - margin_j`` and to 0 when
+    ``sigma < margin_j``.
+    """
+    base = 1.0 - pcfg.fix_confidence
+    if pcfg.damage_gate <= 0:
+        return jnp.full(b.shape, base, jnp.float32)
+    absb = jnp.abs(b)
+    order2 = jnp.argsort(jnp.argsort(absb, axis=-1), axis=-1)
+    cnt = jnp.maximum(jnp.sum(var_mask, axis=-1, keepdims=True), 2)
+    rank = order2.astype(jnp.float32) / (cnt.astype(jnp.float32) - 1.0)
+    rank = jnp.clip(rank, 0.0, 1.0)
+    return base * (1.0 - pcfg.damage_gate * rank)
+
+
 def _core_of(problem) -> object:
     if isinstance(problem, LpProblem):
         return lp
@@ -116,13 +139,21 @@ def l2f_solve(prob, model, variables, cfg: SolverConfig,
     def cond(s):
         return jnp.logical_and(s.it < max_iter, ~jnp.all(s.done))
 
+    if pcfg.damage_gate > 0 and isinstance(prob, LpProblem):
+        margins = fix_margins(prob.b, prob.var_mask, pcfg)
+    else:
+        margins = jnp.full(prob.b.shape, 1.0 - pcfg.fix_confidence,
+                           jnp.float32)
+
     def body(s):
         s, traj = core.solve_window(s, prob, cfg, ws, record=True)
         var_shape = traj.shape[1:-1]       # (n,) or (H, W)
         rows = traj.reshape(-1, ws)
         sig = policy_scores(model, variables, rows, pcfg, row_chunk)
-        vec = scores_to_vec(sig, pcfg.fix_confidence)
-        vec = vec.reshape((B,) + var_shape)
+        sig = sig.reshape((B,) + var_shape)
+        m = margins.reshape((B,) + var_shape)
+        vec = jnp.where(sig > 1.0 - m, 1.0,
+                        jnp.where(sig < m, 0.0, -1.0))
         s = core.apply_fix(s, prob, vec, cfg)
         return s
 
@@ -369,9 +400,12 @@ def _policy_phase(state, prob, variables, model, cfg, pcfg, ws,
         else:
             s, traj = lp.solve_window(s, prob, cfg, ws, record=True)
         rows = traj.reshape(-1, ws)
-        sig = score_rows(rows)
-        conf1 = (sig > pcfg.fix_confidence).reshape(s.x.shape)
-        conf0 = (sig < 1.0 - pcfg.fix_confidence).reshape(s.x.shape)
+        sig = score_rows(rows).reshape(s.x.shape)
+        # risk-calibrated per-variable thresholds (no-op at
+        # damage_gate=0: margins is the constant 1-C)
+        margins = fix_margins(prob.b, prob.var_mask, pcfg)
+        conf1 = sig > 1.0 - margins
+        conf0 = sig < margins
         if pcfg.fix_agree_gate:
             # veto fixes that contradict the trajectory (config.py:
             # fix_agree_gate): the window's own iterates are in hand

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--caps", default="10000")
     ap.add_argument("--ks", default="5000")
     ap.add_argument("--conf", type=float, default=0.98)
+    ap.add_argument("--damage-gates", default="0",
+                    help="comma list of PolicyConfig.damage_gate values")
     ap.add_argument("--fix-windows", type=int, default=2)
     ap.add_argument("--policy-windows", type=int, default=3)
     ap.add_argument("--checkpoint", default=None,
@@ -70,16 +72,18 @@ def main():
         ROOT, "checkpoints", "ca500_mha", "checkpoint",
         "best_checkpoint.npz")
     model = build_policy("mha")
-    pcfg = PolicyConfig(net="mha", fix_confidence=args.conf,
-                        fix_windows=args.fix_windows)
-    trainer = PolicyTrainer(model, pcfg, cfg, ws=100)
+    base_pcfg = PolicyConfig(net="mha", fix_confidence=args.conf,
+                             fix_windows=args.fix_windows)
+    trainer = PolicyTrainer(model, base_pcfg, cfg, ws=100)
     variables = trainer.variables(trainer.load(ckpt))
 
-    for stride, cap, K in itertools.product(
+    for stride, cap, K, dg in itertools.product(
             [int(s) for s in args.strides.split(",")],
             [int(c) for c in args.caps.split(",")],
-            [int(k) for k in args.ks.split(",")]):
+            [int(k) for k in args.ks.split(",")],
+            [float(g) for g in args.damage_gates.split(",")]):
         c = cfg.replace(incumbent_stride=stride)
+        pcfg = base_pcfg.replace(damage_gate=dg)
         tm = {}
         t0 = time.time()
         _, out = l2f.l2f_solve_compact(
@@ -91,7 +95,8 @@ def main():
         objs = np.asarray(out["obj"])
         gap = (objs - plain_objs) / np.abs(plain_objs)
         infeas = np.asarray(out["infeasible"])
-        print(f"stride={stride} cap={cap} K={K}: mean={gap.mean():+.4f} "
+        print(f"stride={stride} cap={cap} K={K} dg={dg}: "
+              f"mean={gap.mean():+.4f} "
               f"max={gap.max():+.4f} "
               f"infeas={int((infeas>0).sum())} "
               f"fixed={np.asarray(out['n_fixed']).mean():.0f} "

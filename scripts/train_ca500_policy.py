@@ -29,6 +29,10 @@ def main():
                     help="fix confidence used for checkpoint-selection "
                          "eval (the bench operating point, STATUS.md)")
     ap.add_argument("-eval_fix_windows", type=int, default=2)
+    ap.add_argument("-damage_alpha", type=float, default=None,
+                    help="fix-error-aware BCE: weight each variable by "
+                         "its wrong-fix damage^alpha (imitation."
+                         "damage_weights); None = uniform")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +61,8 @@ def main():
     for lo in range(0, args.n_train, args.batch):
         prob = ca.make_problem(all_insts[lo:lo + args.batch])
         t0 = time.time()
-        ds = imitation.build_dataset(prob, cfg, record_iters=1000)
+        ds = imitation.build_dataset(prob, cfg, record_iters=1000,
+                                     damage_alpha=args.damage_alpha)
         print(f"  train ds {lo}..{lo+args.batch}: oracle "
               f"{int(ds.oracle_iters)} iters {time.time()-t0:.0f}s "
               f"mean obj {float(ds.oracle_obj.mean()):.1f}", flush=True)
@@ -67,7 +72,9 @@ def main():
     print(f"  eval ds: oracle {int(eval_ds.oracle_iters)} iters", flush=True)
 
     model = build_policy(args.net)
-    save_dir = os.path.join(args.out, f"ca500_{args.net}")
+    tag = (f"ca500_{args.net}_dmg{args.damage_alpha}"
+           if args.damage_alpha is not None else f"ca500_{args.net}")
+    save_dir = os.path.join(args.out, tag)
     trainer = imitation.PolicyTrainer(model, pcfg, cfg, ws=100,
                                       save_dir=save_dir)
     ts = trainer.init(jax.random.PRNGKey(args.seed % (2 ** 31)),

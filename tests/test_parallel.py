@@ -1,6 +1,7 @@
 """Sharding tests on the virtual 8-device CPU mesh (SURVEY.md section 4:
 the standard JAX fake-backend pattern for multi-chip logic)."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -150,3 +151,73 @@ def test_sharded_l2f_eval_matches_local(mesh, batch16):
         rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(local.free),
                                   np.asarray(sh.free))
+
+
+def test_multiprocess_dp_rehearsal(tmp_path):
+    """2 OS processes x 4 virtual CPU devices each join one
+    jax.distributed cluster (parallel/mesh.init_distributed); the
+    8-device mesh shards the batch ACROSS processes, and the sharded
+    solve + DP policy gradient step agree between the workers and with
+    this (single-process, 8-device) run -- the standard multi-host
+    rehearsal, since no real multi-chip hardware is available here
+    (VERDICT r2 item 9)."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "dp_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(i), str(port), outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    res = [json.load(open(o)) for o in outs]
+    assert res[0]["n_devices"] == 8 and res[0]["n_local"] == 4
+    # both workers computed the same global results
+    np.testing.assert_allclose(res[0]["objs"], res[1]["objs"],
+                               rtol=1e-5)
+    assert res[0]["loss"] == pytest.approx(res[1]["loss"], rel=1e-5)
+    assert res[0]["param0"] == pytest.approx(res[1]["param0"],
+                                             rel=1e-4)
+
+    # single-process 8-device reference of the same sharded solve
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.parallel.mesh import host_to_global, make_mesh
+
+    rng = np.random.RandomState(3)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(8)]
+    prob = ca.make_problem(insts)
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    gprob = host_to_global(
+        jax.tree_util.tree_map(np.asarray, prob), make_mesh())
+
+    @jax.jit
+    def solve200(p):
+        st = lp.init_state(p, cfg)
+        st, _ = lp.solve_window(st, p, cfg, 200, record=False,
+                                skip_cvg_at=0)
+        return lp.objective(st)
+
+    ref = np.asarray(solve200(gprob))
+    np.testing.assert_allclose(res[0]["objs"], ref, rtol=1e-4)

@@ -292,3 +292,49 @@ def test_fix_agree_gate_reduces_fixing():
             policy_windows=2, max_iter=2000)
         fixed[g] = int(np.asarray(out["n_fixed"]).sum())
     assert fixed[2] <= fixed[0], fixed
+
+
+def test_damage_weights_semantics():
+    """damage_weights: oracle-1 bids weigh |b|; oracle-0 bids weigh the
+    displaced occupier prices minus their own; padding 0; mean 1."""
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.core.problem import LpProblem
+    from lpbox_admm_tpu.train.imitation import damage_weights
+
+    # rows: r0 covers bids 0,1; r1 covers bids 1,2.  Oracle selects
+    # bid 0 (price 10) and bid 2 (price 6); bid 1 (price 4) would
+    # displace both -> disp = 10 + 6 - 4 = 12.
+    E = jnp.asarray([[[1.0, 1, 0, 0], [0, 1, 1, 0]]])
+    b = jnp.asarray([[-10.0, -4.0, -6.0, 0.0]])
+    prob = LpProblem(b=b, E=E, f=jnp.ones((1, 2)),
+                     row_mask=jnp.ones((1, 2), bool),
+                     var_mask=jnp.asarray([[True, True, True, False]]))
+    labels = jnp.asarray([[1.0, 0.0, 1.0, 0.0]])
+    w = np.asarray(damage_weights(prob, labels, alpha=1.0))[0]
+    assert w[3] == 0.0                       # padding
+    raw = np.array([10.0, 12.0, 6.0])
+    np.testing.assert_allclose(w[:3], raw / raw.mean(), rtol=1e-5)
+    # alpha=0.5 damps the spread but keeps the order
+    w5 = np.asarray(damage_weights(prob, labels, alpha=0.5))[0]
+    assert w5[1] > w5[0] > w5[2]
+    assert (w5.max() - w5.min()) < (w.max() - w.min())
+
+
+def test_fix_margins_risk_calibration():
+    """fix_margins: gate=0 is the constant 1-C; gate>0 shrinks the
+    margin linearly with the |b| rank (top-price bid tightest)."""
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.config import PolicyConfig
+    from lpbox_admm_tpu.train.l2f import fix_margins
+
+    b = jnp.asarray([[-1.0, -9.0, -5.0, -3.0]])
+    vm = jnp.ones((1, 4), bool)
+    p0 = PolicyConfig(fix_confidence=0.98, damage_gate=0.0)
+    m0 = np.asarray(fix_margins(b, vm, p0))
+    np.testing.assert_allclose(m0, 0.02, rtol=1e-6)
+    p1 = PolicyConfig(fix_confidence=0.98, damage_gate=0.75)
+    m1 = np.asarray(fix_margins(b, vm, p1))[0]
+    # ranks by |b|: idx0 lowest (margin 0.02), idx1 highest (0.005)
+    np.testing.assert_allclose(m1[0], 0.02, rtol=1e-5)
+    np.testing.assert_allclose(m1[1], 0.02 * 0.25, rtol=1e-5)
+    assert m1[2] > m1[1] and m1[2] < m1[3] < m1[0]
