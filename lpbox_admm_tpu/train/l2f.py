@@ -105,6 +105,11 @@ def fix_margins(b: jnp.ndarray, var_mask: jnp.ndarray,
     cnt = jnp.maximum(jnp.sum(var_mask, axis=-1, keepdims=True), 2)
     rank = order2.astype(jnp.float32) / (cnt.astype(jnp.float32) - 1.0)
     rank = jnp.clip(rank, 0.0, 1.0)
+    # tighten only ranks above the floor (cheap bids keep base C, so
+    # fix volume is preserved; see PolicyConfig.damage_rank_floor)
+    q = pcfg.damage_rank_floor
+    if q > 0:
+        rank = jnp.clip((rank - q) / max(1.0 - q, 1e-6), 0.0, 1.0)
     return base * (1.0 - pcfg.damage_gate * rank)
 
 

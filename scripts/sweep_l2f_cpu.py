@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--ks", default="5000")
     ap.add_argument("--conf", type=float, default=0.98)
     ap.add_argument("--damage-gates", default="0",
-                    help="comma list of PolicyConfig.damage_gate values")
+                    help="comma list of gate[:floor] values, e.g. "
+                         "0,0.5,0.75:0.6")
     ap.add_argument("--fix-windows", type=int, default=2)
     ap.add_argument("--policy-windows", type=int, default=3)
     ap.add_argument("--checkpoint", default=None,
@@ -77,13 +78,20 @@ def main():
     trainer = PolicyTrainer(model, base_pcfg, cfg, ws=100)
     variables = trainer.variables(trainer.load(ckpt))
 
-    for stride, cap, K, dg in itertools.product(
+    def parse_gate(s):
+        if ":" in s:
+            g, q = s.split(":")
+            return float(g), float(q)
+        return float(s), 0.0
+
+    for stride, cap, K, dgq in itertools.product(
             [int(s) for s in args.strides.split(",")],
             [int(c) for c in args.caps.split(",")],
             [int(k) for k in args.ks.split(",")],
-            [float(g) for g in args.damage_gates.split(",")]):
+            [parse_gate(g) for g in args.damage_gates.split(",")]):
+        dg, dq = dgq
         c = cfg.replace(incumbent_stride=stride)
-        pcfg = base_pcfg.replace(damage_gate=dg)
+        pcfg = base_pcfg.replace(damage_gate=dg, damage_rank_floor=dq)
         tm = {}
         t0 = time.time()
         _, out = l2f.l2f_solve_compact(
@@ -95,7 +103,7 @@ def main():
         objs = np.asarray(out["obj"])
         gap = (objs - plain_objs) / np.abs(plain_objs)
         infeas = np.asarray(out["infeasible"])
-        print(f"stride={stride} cap={cap} K={K} dg={dg}: "
+        print(f"stride={stride} cap={cap} K={K} dg={dg}:{dq} "
               f"mean={gap.mean():+.4f} "
               f"max={gap.max():+.4f} "
               f"infeas={int((infeas>0).sum())} "
