@@ -56,6 +56,10 @@ def parse_args():
                    help="physically compact the l2f residual problem "
                         "between windows in -phase test (the reference's "
                         "Ma/Mb shrink; 0 = masked full-grid iteration)")
+    p.add_argument("-refine_iters", type=int, default=0,
+                   help="post-fix refinement: re-free boundary-band "
+                        "fixed pixels and run this many extra ADMM "
+                        "iterations before rounding (l2f side only)")
     return p.parse_args()
 
 
@@ -169,6 +173,9 @@ def main():
             state = l2f.l2f_solve(eval_prob, model, trainer.variables(ts),
                                   cfg, pcfg, ws=args.ws,
                                   max_iter=args.max_eval_iters)
+        if args.refine_iters > 0:
+            state = l2f.qp_refine_boundary(state, eval_prob, cfg,
+                                           iters=args.refine_iters)
         jax.block_until_ready(state.x)
         wall = time.time() - t0
         m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,

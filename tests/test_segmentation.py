@@ -333,6 +333,33 @@ def test_l2f_compact_qp_matches_l2f_solve(seg_batch):
     assert int(np.asarray((~st_b.free) & prob.mask).sum()) > 0
 
 
+def test_qp_refine_boundary(seg_batch):
+    """The post-fix boundary refinement re-frees only boundary-band
+    fixed pixels, keeps the interior fixed, and never worsens the
+    selection-reported energy."""
+    prob = seg_batch
+    cfg = SEG_CONFIG
+    pcfg = PolicyConfig(node_size=5, chunk_dim=5, window_mode="sliding",
+                        fix_confidence=0.53)
+    model = build_policy("mlp")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 5)),
+                           train=True)
+    st = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=10,
+                       max_iter=30)
+    n_fixed0 = np.asarray((~st.free) & prob.mask).sum((-2, -1))
+    assert n_fixed0.max() > 0
+    _, e0 = qp.select_solution(st, prob, repair_sweeps=4)
+    st2 = l2f.qp_refine_boundary(st, prob, cfg, iters=10)
+    _, e1 = qp.select_solution(st2, prob, repair_sweeps=4)
+    # interior pixels stay fixed; something was re-freed (there is a
+    # boundary in any non-trivial segmentation)
+    n_fixed1 = np.asarray((~st2.free) & prob.mask).sum((-2, -1))
+    assert np.all(n_fixed1 <= n_fixed0)
+    assert np.any(n_fixed1 < n_fixed0)
+    # energy never degrades (incumbent selection protects the floor)
+    assert np.all(np.asarray(e1) <= np.asarray(e0) + 1e-3), (e0, e1)
+
+
 def test_save_img(tmp_path, seg_batch):
     prob = seg_batch
     state = qp.solve(prob, SEG_CONFIG, max_iters=200, window=50)
