@@ -588,7 +588,7 @@ def solve(prob: LpProblem, cfg: SolverConfig,
 
 def solve_blocked(prob: LpProblem, cfg: SolverConfig, block: int = 8,
                   max_iters: Optional[int] = None, window: int = 500,
-                  ) -> Tuple[LpState, list]:
+                  stream: bool = False) -> Tuple[LpState, list]:
     """Host-driven blocked solve with per-block early exit.
 
     ``solve``'s single ``while_loop`` gates every instance on the
@@ -611,10 +611,21 @@ def solve_blocked(prob: LpProblem, cfg: SolverConfig, block: int = 8,
     B = prob.batch
     assert B % block == 0, (B, block)
 
-    @functools.partial(jax.jit, static_argnames=("c", "w", "skip"))
-    def win(s, p, c, w, skip):
-        s, _ = solve_window(s, p, c, w, record=False, skip_cvg_at=skip)
-        return s
+    if stream:
+        # single-E-stream Pallas sweep (ops/pallas_stream): the HBM-
+        # bound large rungs' fast path; TPU only (interpret elsewhere)
+        from ..ops import pallas_stream
+
+        @functools.partial(jax.jit, static_argnames=("c", "w", "skip"))
+        def win(s, p, c, w, skip):
+            return pallas_stream.lp_window_stream(s, p, c, w,
+                                                  skip_cvg_at=skip)
+    else:
+        @functools.partial(jax.jit, static_argnames=("c", "w", "skip"))
+        def win(s, p, c, w, skip):
+            s, _ = solve_window(s, p, c, w, record=False,
+                                skip_cvg_at=skip)
+            return s
 
     jinit = jax.jit(init_state, static_argnames=("cfg",))
     probs = [jax.tree_util.tree_map(lambda a: a[lo:lo + block], prob)

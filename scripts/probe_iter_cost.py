@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--path", default="xla", choices=["xla", "stream"],
+                    help="xla = two-pass core/lp step; stream = the "
+                         "single-E-stream Pallas sweep "
+                         "(ops/pallas_stream)")
+    ap.add_argument("--nb", type=int, default=0,
+                    help="stream kernel column-block width (0 = auto)")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
@@ -60,10 +66,20 @@ def main():
           f"E=({m},{n}) dtype={args.dtype} iters={args.iters}",
           flush=True)
 
-    @functools.partial(jax.jit, static_argnames=("c", "w"))
-    def run(s, p, c, w):
-        s, _ = lp.solve_window(s, p, c, w, record=False)
-        return s
+    if args.path == "stream":
+        from lpbox_admm_tpu.ops import pallas_stream
+
+        nb = args.nb or None
+
+        @functools.partial(jax.jit, static_argnames=("c", "w"))
+        def run(s, p, c, w):
+            return pallas_stream.lp_window_stream(
+                s, p, c, w, nb=nb, interpret=False)
+    else:
+        @functools.partial(jax.jit, static_argnames=("c", "w"))
+        def run(s, p, c, w):
+            s, _ = lp.solve_window(s, p, c, w, record=False)
+            return s
 
     rng = np.random.RandomState(5)
 
@@ -88,9 +104,15 @@ def main():
         best = min(best, time.time() - t0)
     ii = B * args.iters / best
     eb = 2 if args.dtype == "bfloat16" else 4
-    # dominant per-iter HBM streams: 2x E + 1x G^{-1} (+ E/stride for
-    # the incumbent feasibility pass)
-    traffic = (2 + 1.0 / cfg.incumbent_stride) * eb * m * n + 4 * m * m
+    if args.path == "stream":
+        # single-stream: E once + G^{-1} once (incumbent rides the
+        # fused forward stack for free)
+        traffic = eb * m * n + 4 * m * m
+    else:
+        # two-pass: 2x E + 1x G^{-1} (+ E/stride for the incumbent
+        # feasibility pass)
+        traffic = (2 + 1.0 / cfg.incumbent_stride) * eb * m * n \
+            + 4 * m * m
     print(f"wall={best:.3f}s  {ii:,.0f} inst-iters/s  "
           f"implied {ii * traffic / 1e9:,.0f} GB/s", flush=True)
 
