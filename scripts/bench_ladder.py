@@ -192,6 +192,26 @@ def main():
                 (f"xla-{s}",
                  lambda p, c=cfg_b, bk=blk, mi=cap: lp.solve_blocked(
                      p, c, block=bk, window=500, max_iters=mi)[0]))
+        for s in solvers:
+            # stream[-bf16][-cK]: single-E-stream Pallas sweep
+            # (ops/pallas_stream) through the blocked dispatch
+            if not s.startswith("stream"):
+                continue
+            cfg_s = LP_CONFIG.replace(linsolve="woodbury")
+            cap_s = None
+            for part in s.split("-")[1:]:
+                if part == "bf16":
+                    cfg_s = cfg_s.replace(matvec_dtype="bfloat16")
+                elif part.startswith("c"):
+                    cap_s = int(part[1:])
+                elif part.startswith("s"):
+                    cfg_s = cfg_s.replace(
+                        incumbent_stride=int(part[1:]))
+            runs.append(
+                (s,
+                 lambda p, c=cfg_s, mi=cap_s: lp.solve_blocked(
+                     p, c, block=8, window=500, max_iters=mi,
+                     stream=True)[0]))
         if "auto" in solvers:
             # the user-facing dispatch (core/lp.solve_auto): fused
             # when the VMEM budget admits bt>=2, blocked-bf16 in the
