@@ -70,6 +70,58 @@ def main():
         run("scripts/eval_policy.py", ["-net", "mha"], "eval_mha")
     if "bench" in phases:
         run("bench.py", [], "bench")
+    # ---- round-3 phases ---------------------------------------------
+    if "probe_stream" in phases:
+        # stream-vs-two-pass fixed-iteration probe at the big rungs
+        for rung in ("300x1500", "800x4000"):
+            run("scripts/probe_iter_cost.py",
+                ["--rung", rung, "--iters", "500", "--path", "xla"],
+                f"probe_xla_{rung}")
+            run("scripts/probe_iter_cost.py",
+                ["--rung", rung, "--iters", "500", "--path", "stream"],
+                f"probe_stream_{rung}")
+    if "ladder_stream" in phases:
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers", "stream-bf16-c10000"],
+            "ladder_stream")
+    if "sparse_rung" in phases:
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8", "--probe"],
+            "sparse_probe")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8"], "sparse_rung")
+    if "attack_victim" in phases:
+        run("experiments/run_attack.py",
+            ["-phase", "solve", "-n", "32",
+             "-victim", "checkpoints/cifar_victim.npz",
+             "-result_dir", "result"], "attack_plain_victim")
+        run("experiments/run_attack.py",
+            ["-phase", "test", "-net", "mha", "-n", "32",
+             "-victim", "checkpoints/cifar_victim.npz",
+             "-checkpoint",
+             "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
+             "-result_dir", "result"], "attack_l2f_victim")
+    if "seg1e5_r3" in phases:
+        # compacted + refinement A/B at the 1e5-px generalization eval
+        common = ["-phase", "test", "-num_nodes", "100000",
+                  "-image_list",
+                  "2,3,11,14,16,17,21,24,25,33,34,39,45,46,56,57,59,"
+                  "63,64,76,82,83,86,88",
+                  "-checkpoint",
+                  "checkpoints/seg_mha/checkpoint/best_checkpoint.npz"]
+        run("experiments/run_seg.py",
+            common + ["-compact", "0", "-result_dir", "result_seg1e5"],
+            "seg1e5_masked")
+        run("experiments/run_seg.py",
+            common + ["-compact", "1", "-result_dir", "result_seg1e5"],
+            "seg1e5_compact")
+        run("experiments/run_seg.py",
+            common + ["-compact", "1", "-refine_iters", "10",
+                      "-result_dir", "result_seg1e5"],
+            "seg1e5_refine")
+    if "cg_bisect" in phases:
+        # LAST: a worker crash can wedge the tunnel for ~1h
+        run("scripts/diag_cg_crash.py", [], "cg_bisect")
 
 
 if __name__ == "__main__":
