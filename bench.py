@@ -214,16 +214,18 @@ def jax_block(tree):
 
 def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
               fix_confidence=0.98, fix_windows=2, max_iter=10000,
-              policy_windows=3):
+              policy_windows=3, damage_gate=0.25):
     """Learned-early-fixing benchmark using the trained CA-500 MHA
     checkpoint (scripts/train_ca500_policy.py), if present.
 
     Returns (instances/s, mean gap, max gap, infeasible count) or None.
-    Defaults are the measured operating point (STATUS.md r2 sweeps):
+    Defaults are the measured operating point (STATUS.md r2/r3 sweeps):
     3 policy windows, fix confidence 0.98 with a 2-window consistency
-    gate, residual rho fast-forward 5000, iteration cap 10000 -- mean
-    obj gap -1.5% (l2f beats the plain solve's reported objective on
-    average), max +13.4%, 0 infeasibilities on the 64-instance sweep."""
+    gate and a 0.25 risk-calibrated damage gate (the confidence margin
+    tightens with the bid's |b| rank), residual rho fast-forward 5000,
+    iteration cap 10000 -- on the 128-instance CPU validation the gate
+    moved mean obj gap -1.3% -> -1.7% and max +7.6% -> +5.7% at 346
+    fixes/instance, 0 infeasibilities."""
     ckpt = os.path.join(ROOT, "checkpoints", "ca500_mha", "checkpoint",
                         "best_checkpoint.npz")
     if not os.path.exists(ckpt):
@@ -243,7 +245,8 @@ def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
     # drops the per-iteration feasibility pass at no measurable gap)
     cfg = LP_CONFIG.replace(linsolve="woodbury", incumbent_stride=8)
     pcfg = PolicyConfig(net="mha", fix_confidence=fix_confidence,
-                        fix_windows=fix_windows)
+                        fix_windows=fix_windows,
+                        damage_gate=damage_gate)
     model = build_policy("mha")
     trainer = PolicyTrainer(model, pcfg, cfg, ws=100)
     ts = trainer.load(ckpt)
