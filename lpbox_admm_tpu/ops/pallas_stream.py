@@ -81,14 +81,16 @@ def _sweep_kernel(sc_ref, E_ref, M_ref, rhs_ref, x0_ref, shift_ref,
 
     @pl.when(j == 0)
     def _():
-        F_o[...] = jnp.zeros_like(F_o)
-        acc_o[...] = jnp.zeros_like(acc_o)
+        F_o[...] = jnp.zeros(F_o.shape, F_o.dtype)
+        acc_o[...] = jnp.zeros(acc_o.shape, acc_o.dtype)
 
+    # Mosaic-friendly layout discipline: every vector stays RANK-2
+    # (1, NB) end to end -- no rank-1 ops, no .at[].set scatter; A and
+    # acc assemble by concatenation.
     rho = sc_ref[0, 0]
     gamma = sc_ref[0, 1]
     rho_nx = sc_ref[0, 2]
     s_t = sc_ref[0, 3]
-    tol2 = sc_ref[0, 4]
     c = rho + rho
 
     E_t = E_ref[0]
@@ -98,29 +100,32 @@ def _sweep_kernel(sc_ref, E_ref, M_ref, rhs_ref, x0_ref, shift_ref,
     # ---- transpose contraction for iteration t: (4, m) @ (m, NB) ----
     T = jax.lax.dot_general(M, E_t, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    etu, etex0, etwk, etwe = T[0], T[1], T[2], T[3]
+    etu, etex0 = T[0:1], T[1:2]                # (1, NB) each
+    etw_b = (T[2:3], T[3:4])
 
-    rhs = rhs_ref[0, 0]
-    x0 = x0_ref[0, 0]
-    shift_t = shift_ref[0, 0]
-    z1 = z1_ref[0, 0]
-    z2 = z2_ref[0, 0]
-    bb = b_ref[0, 0]
-    fr = free_ref[0, 0]                        # f32 mask
+    rhs = rhs_ref[0]                           # (1, NB)
+    x0 = x0_ref[0]
+    shift_t = shift_ref[0]
+    z1 = z1_ref[0]
+    z2 = z2_ref[0]
+    bb = b_ref[0]
+    fr = free_ref[0]                           # f32 mask
 
     y2 = 0.5 + s_t * shift_t                   # shift is free-masked
-    x_e = fr * (rhs - etu) / c                 # exact-branch x_t
-    x_k = x0                                   # keep-branch x_t (= free*y1)
+    x_b2 = (x0,                                # keep branch (= free*y1)
+            fr * (rhs - etu) / c)              # exact branch
 
     # keep test pieces: r0 = rhs - free*(c x0 + rho EtEx0)
     r0 = rhs - fr * (c * x0 + rho * etex0)
 
-    acc = jnp.zeros((_NACC,), jnp.float32)
-    acc = acc.at[0].set(jnp.sum(r0 * r0))
-    acc = acc.at[1].set(jnp.sum(rhs * rhs))
+    def ssum(v):
+        return jnp.sum(v).reshape(1, 1)
 
-    A = jnp.zeros((2 * _NF, E_t.shape[1]), jnp.float32)
-    for bi, (x_b, etw) in enumerate(((x_k, etwk), (x_e, etwe))):
+    acc = [ssum(r0 * r0), ssum(rhs * rhs)]
+    per = {k: [] for k in range(6)}            # shift/c1/c2/xn/obj/objbin
+    A_rows = []
+    for bi in range(2):
+        x_b, etw = x_b2[bi], etw_b[bi]
         z1n = z1 + gamma * rho * fr * (x_b - x0)
         z2n = z2 + gamma * rho * fr * (x_b - y2)
         y1n = jnp.clip(x_b + z1n / rho_nx, 0.0, 1.0)
@@ -128,28 +133,30 @@ def _sweep_kernel(sc_ref, E_ref, M_ref, rhs_ref, x0_ref, shift_ref,
         base = fr * (rho_nx * y1n + rho_nx * 0.5
                      - (bb + z1n + z2n) + etw)
         rounded = fr * (x_b >= 0.5).astype(jnp.float32)
-        A = A.at[bi * _NF + 0].set(base)
-        A = A.at[bi * _NF + 1].set(shfn)
-        A = A.at[bi * _NF + 2].set(fr * y1n)
-        A = A.at[bi * _NF + 3].set(rounded)
+        A_rows += [base, shfn, fr * y1n, rounded]
         d1 = fr * (x_b - x0)
         d2 = fr * (x_b - y2)
-        acc = acc.at[2 + bi].set(jnp.sum(shfn * shfn))
-        acc = acc.at[4 + bi].set(jnp.sum(d1 * d1))
-        acc = acc.at[6 + bi].set(jnp.sum(d2 * d2))
-        acc = acc.at[8 + bi].set(jnp.sum(fr * x_b * x_b))
-        acc = acc.at[10 + bi].set(jnp.sum(bb * fr * x_b))
-        acc = acc.at[12 + bi].set(jnp.sum(bb * rounded))
+        per[0].append(ssum(shfn * shfn))
+        per[1].append(ssum(d1 * d1))
+        per[2].append(ssum(d2 * d2))
+        per[3].append(ssum(fr * x_b * x_b))
+        per[4].append(ssum(bb * fr * x_b))
+        per[5].append(ssum(bb * rounded))
         outs = ((xk_o, z1k_o, z2k_o, y1k_o, bask_o, shfk_o) if bi == 0
                 else (xe_o, z1e_o, z2e_o, y1e_o, base_o, shfe_o))
-        vals = (x_b, z1n, z2n, y1n, base, shfn)
-        for o, v in zip(outs, vals):
-            o[0, 0] = v
+        for o, v in zip(outs, (x_b, z1n, z2n, y1n, base, shfn)):
+            o[...] = v.reshape(o.shape)
+
+    for k in range(6):
+        acc += per[k]
+    acc += [jnp.zeros((1, 1), jnp.float32)] * (_NACC - len(acc))
+    A = jnp.concatenate(A_rows, axis=0)        # (8, NB)
 
     # ---- forward contraction for iteration t+1: (8, NB) x (m, NB) ---
-    F_o[0] += jax.lax.dot_general(A, E_t, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-    acc_o[0] += acc
+    F_o[...] += jax.lax.dot_general(
+        A, E_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)[None]
+    acc_o[...] += jnp.concatenate(acc, axis=1)
 
 
 def _pick_nb(n: int, nb: Optional[int] = None) -> int:
