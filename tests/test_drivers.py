@@ -50,6 +50,21 @@ def test_run_seg_solve(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_seg_train_test_compact_refine(tmp_path):
+    """Seg train -> test pipeline, exercising the compacted l2f path
+    and the post-fix boundary refinement flags end to end."""
+    common = ["-net", "mlp", "-ws", "10", "-n", "4", "-n_eval", "2",
+              "-num_nodes", "400"]
+    out = run_driver(tmp_path, "run_seg.py", "-phase", "train",
+                     "-num_epochs", "1", *common)
+    assert "epoch 0" in out
+    out = run_driver(tmp_path, "run_seg.py", "-phase", "test",
+                     "-compact", "1", "-refine_iters", "5", *common)
+    assert "energy gap" in out
+    assert os.path.exists(tmp_path / "result")
+
+
+@pytest.mark.slow
 def test_run_attack_solve(tmp_path):
     out = run_driver(tmp_path, "run_attack.py", "-phase", "solve",
                      "-n", "2", "-maxIter_e", "40", "-maxIter_g", "40",
