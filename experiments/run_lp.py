@@ -70,7 +70,8 @@ def main():
     cfg = LP_CONFIG.replace(linsolve=args.linsolve,
                             matvec_dtype=args.matvec_dtype)
     pcfg = PolicyConfig(net=args.net, node_size=20,
-                        chunk_dim=args.ws // 20)
+                        chunk_dim=args.ws // 20,
+                        damage_gate=args.damage_gate)
 
     if args.phase == "generate":
         t0 = time.time()

@@ -81,7 +81,8 @@ def main():
 
     cfg = SEG_CONFIG
     pcfg = PolicyConfig(net=args.net, node_size=5, chunk_dim=5,
-                        window_mode="sliding")
+                        window_mode="sliding",
+                        damage_gate=args.damage_gate)
     paths = (sorted(os.listdir(args.image_dir))
              if args.image_dir else seg.reference_image_paths())
     if args.image_dir:

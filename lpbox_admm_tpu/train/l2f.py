@@ -146,6 +146,13 @@ def l2f_solve(prob, model, variables, cfg: SolverConfig,
 
     if pcfg.damage_gate > 0 and isinstance(prob, LpProblem):
         margins = fix_margins(prob.b, prob.var_mask, pcfg)
+    elif pcfg.damage_gate > 0 and isinstance(prob, qp.QpProblem):
+        # same risk calibration on the grid: a wrong fix on a pixel
+        # with strong unary |b| costs more energy
+        margins = fix_margins(
+            prob.b.reshape(prob.batch, -1),
+            prob.mask.reshape(prob.batch, -1), pcfg
+        ).reshape(prob.b.shape)
     else:
         margins = jnp.full(prob.b.shape, 1.0 - pcfg.fix_confidence,
                            jnp.float32)
@@ -168,12 +175,14 @@ def l2f_solve(prob, model, variables, cfg: SolverConfig,
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "pcfg", "ws",
                                               "row_chunk"))
 def _qp_policy_window(state, prob, variables, model, cfg, pcfg, ws,
-                      row_chunk):
+                      row_chunk, margins):
     """One [grid solver window -> policy -> fix] round (jitted)."""
     state, traj = qp.solve_window(state, prob, cfg, ws, record=True)
     rows = traj.reshape(-1, ws)
     sig = policy_scores(model, variables, rows, pcfg, row_chunk)
-    vec = scores_to_vec(sig, pcfg.fix_confidence).reshape(state.x.shape)
+    sig = sig.reshape(state.x.shape)
+    vec = jnp.where(sig > 1.0 - margins, 1.0,
+                    jnp.where(sig < margins, 0.0, -1.0))
     state = qp.apply_fix(state, prob, vec, cfg)
     return state, jnp.max(jnp.sum(state.free, axis=(-2, -1))), \
         jnp.all(state.done)
@@ -182,13 +191,15 @@ def _qp_policy_window(state, prob, variables, model, cfg, pcfg, ws,
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "pcfg", "ws",
                                               "row_chunk"))
 def _flat_policy_window(gstate, gprob, variables, model, cfg, pcfg, ws,
-                        row_chunk):
+                        row_chunk, margins):
     """Same round on the compacted flat problem (core.general)."""
     gstate, traj = general.solve_window(gstate, gprob, cfg, ws,
                                         record=True)
     rows = traj.reshape(-1, ws)
     sig = policy_scores(model, variables, rows, pcfg, row_chunk)
-    vec = scores_to_vec(sig, pcfg.fix_confidence).reshape(gstate.x.shape)
+    sig = sig.reshape(gstate.x.shape)
+    vec = jnp.where(sig > 1.0 - margins, 1.0,
+                    jnp.where(sig < margins, 0.0, -1.0))
     gstate = general.apply_fix(gstate, gprob, vec, cfg)
     return gstate, jnp.max(jnp.sum(gstate.free, axis=-1)), \
         jnp.all(gstate.done)
@@ -270,10 +281,19 @@ def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
         max_iter = cfg.max_iters
     H, W = prob.grid
     n = H * W
+    B = prob.batch
     windows = max(1, max_iter // ws)
+    if pcfg.damage_gate > 0:
+        margins = fix_margins(prob.b.reshape(B, -1),
+                              prob.mask.reshape(B, -1),
+                              pcfg).reshape(prob.b.shape)
+    else:
+        margins = jnp.full(prob.b.shape, 1.0 - pcfg.fix_confidence,
+                           jnp.float32)
     state = qp.init_state(prob, cfg)
     state, max_free, all_done = _qp_policy_window(
-        state, prob, variables, model, cfg, pcfg, ws, row_chunk)
+        state, prob, variables, model, cfg, pcfg, ws, row_chunk,
+        margins)
     mf, done0 = jax.device_get((max_free, all_done))
     if windows == 1 or bool(done0):
         return state
@@ -282,7 +302,8 @@ def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
         # nothing to gain; stay on the grid
         for _ in range(windows - 1):
             state, _, all_done = _qp_policy_window(
-                state, prob, variables, model, cfg, pcfg, ws, row_chunk)
+                state, prob, variables, model, cfg, pcfg, ws,
+                row_chunk, margins)
             if bool(jax.device_get(all_done)):
                 break
         return state
@@ -290,9 +311,12 @@ def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
     state0 = state
     free_full, fixed_full = state.free, state.fixed_val
     gstate, gprob, idx = _qp_compact_jit(state, prob, cfg, n_b)
+    margins_c = jnp.take_along_axis(margins.reshape(B, -1), idx,
+                                    axis=-1)
     for w in range(1, windows):
         gstate, max_free, all_done = _flat_policy_window(
-            gstate, gprob, variables, model, cfg, pcfg, ws, row_chunk)
+            gstate, gprob, variables, model, cfg, pcfg, ws, row_chunk,
+            margins_c)
         if bool(jax.device_get(all_done)):
             break
         if recompact and w < windows - 1:
@@ -302,6 +326,8 @@ def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
                 gstate, gprob, idx2 = _general_compact_jit(
                     gstate, gprob, n_b2)
                 idx = jnp.take_along_axis(idx, idx2, axis=-1)
+                margins_c = jnp.take_along_axis(margins_c, idx2,
+                                                axis=-1)
                 n_b = n_b2
     return _qp_reassemble(gstate, idx, free_full, fixed_full, state0,
                           prob)

@@ -51,4 +51,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="data-parallel mesh size (0 = single device); "
                         "shards the instance batch over the first N "
                         "devices, replicating policy params")
+    p.add_argument("-damage_gate", type=float, default=0.0,
+                   help="risk-calibrated fixing: shrink the confidence "
+                        "margin with the variable's |b| rank "
+                        "(PolicyConfig.damage_gate; 0 = global "
+                        "threshold)")
     return p
