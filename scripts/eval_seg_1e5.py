@@ -1,0 +1,118 @@
+"""Segmentation l2f A/B at the 1e5-px generalization eval.
+
+Builds the 24-image problem + plain oracle ONCE (the expensive part),
+then evaluates l2f variants under equal reporting semantics (incumbent
+selection + ICM/pair polish both sides):
+
+    masked        l2f_solve (full-grid masked iteration)
+    compact       l2f_solve_compact_qp (physical shrink between windows)
+    compact+refN  + post-fix boundary refinement window of N iters
+
+    python scripts/eval_seg_1e5.py [--num_nodes 100000]
+        [--variants masked,compact,compact+ref10] [--images i,j,...]
+
+The image list defaults to the reference's hand-picked generalization
+set (_my_valid_2 my_list, Seg trainer.py:832).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+MY_LIST = ("2,3,11,14,16,17,21,24,25,33,34,39,45,46,56,57,59,63,64,"
+           "76,82,83,86,88")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_nodes", type=int, default=100_000)
+    ap.add_argument("--images", default=MY_LIST)
+    ap.add_argument("--variants",
+                    default="masked,compact,compact+ref10")
+    ap.add_argument("--ws", type=int, default=10)
+    ap.add_argument("--max_iter", type=int, default=30)
+    ap.add_argument("--repair_sweeps", type=int, default=8)
+    ap.add_argument("--pair_sweeps", type=int, default=4)
+    ap.add_argument("--checkpoint",
+                    default=os.path.join(
+                        ROOT, "checkpoints", "seg_mha", "checkpoint",
+                        "best_checkpoint.npz"))
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.adapters import segmentation as seg
+    from lpbox_admm_tpu.config import SEG_CONFIG, PolicyConfig
+    from lpbox_admm_tpu.core import qp
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.train import imitation, l2f
+    from lpbox_admm_tpu.train.imitation import PolicyTrainer
+
+    cfg = SEG_CONFIG
+    pcfg = PolicyConfig(net="mha", node_size=5, chunk_dim=5,
+                        window_mode="sliding")
+    ids = [int(v) for v in args.images.split(",")]
+    by_id = {os.path.splitext(os.path.basename(p))[0]: p
+             for p in seg.reference_image_paths()}
+    paths = [by_id[str(i)] for i in ids]
+    print(f"backend={jax.default_backend()}  {len(paths)} images @ "
+          f"{args.num_nodes}px", flush=True)
+
+    prob = seg.load_problem(paths, num_nodes=args.num_nodes)
+    t0 = time.time()
+    ds = imitation.build_dataset_qp(
+        prob, cfg, record_iters=5 * args.ws,
+        repair_sweeps=args.repair_sweeps, pair_sweeps=args.pair_sweeps)
+    print(f"oracle: mean energy {float(ds.oracle_obj.mean()):.1f} "
+          f"({int(ds.oracle_iters)} iters, {time.time()-t0:.0f}s)",
+          flush=True)
+
+    model = build_policy("mha")
+    trainer = PolicyTrainer(model, pcfg, cfg, ws=args.ws)
+    variables = trainer.variables(trainer.load(args.checkpoint))
+    labels = ds.labels.reshape(prob.batch, *prob.grid)
+
+    for variant in args.variants.split(","):
+        ref_iters = 0
+        name = variant
+        if "+ref" in variant:
+            variant, ref = variant.split("+ref")
+            ref_iters = int(ref)
+        t0 = time.time()
+        if variant == "compact":
+            state = l2f.l2f_solve_compact_qp(
+                prob, model, variables, cfg, pcfg, ws=args.ws,
+                max_iter=args.max_iter)
+        else:
+            state = l2f.l2f_solve(prob, model, variables, cfg, pcfg,
+                                  ws=args.ws, max_iter=args.max_iter)
+        if ref_iters:
+            state = l2f.qp_refine_boundary(state, prob, cfg,
+                                           iters=ref_iters)
+        jax.block_until_ready(state.x)
+        wall = time.time() - t0
+        m = l2f.l2f_metrics_qp(state, prob, ds.oracle_obj, labels,
+                               repair_sweeps=args.repair_sweeps,
+                               pair_sweeps=args.pair_sweeps)
+        gap = float(np.mean(np.asarray(m["energy_gap"])))
+        agree = float(np.asarray(m["px_agree"]).mean())
+        print(f"{name}: gap={gap:+.4f} agree={agree:.0f} "
+              f"fixed={np.asarray(m['n_fixed']).mean():.0f}px "
+              f"it={int(m['iterations'])} wall={wall:.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
