@@ -40,6 +40,7 @@ def generate_cauction(
     additivity: float = 0.2,
     budget_factor: float = 1.5,
     resale_factor: float = 0.5,
+    return_coo: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample one CA instance.
 
@@ -47,6 +48,9 @@ def generate_cauction(
     and ``C`` is the dense 0/1 item-bid incidence matrix of shape
     (n_items + n_dummy, n_bids) with empty rows dropped (the reference's
     COO writer skips empty items, generate_instances.py:352-357).
+    With ``return_coo`` the incidence comes back as a
+    ``(rows, cols, vals, (m, n))`` triplet instead (the only viable
+    form at the reference table's 1e5+-bid rungs).
 
     The reference driver uses ``add_item_prob=0.7`` (:392).
     """
@@ -121,6 +125,24 @@ def generate_cauction(
             bids.append((list(bundle_fs) + dummy, price_v))
 
     prices = np.array([p for _, p in bids])
+    if return_coo:
+        # sparse output for very-large instances: a dense C at
+        # (2e4, 1e5) would be 16 GB; the COO triplet is ~5 MB
+        rows_l, cols_l = [], []
+        for j, (bundle, _) in enumerate(bids):
+            rows_l.extend(bundle)
+            cols_l.extend([j] * len(bundle))
+        rows = np.asarray(rows_l, np.int64)
+        cols = np.asarray(cols_l, np.int64)
+        # drop empty item rows (the reference's COO writer skips them,
+        # generate_instances.py:352-357), keeping row order
+        used = np.unique(rows)
+        remap = np.full(n_items + n_dummy, -1, np.int64)
+        remap[used] = np.arange(len(used))
+        coo = (remap[rows], cols,
+               np.ones(len(rows), np.float32),
+               (len(used), len(bids)))
+        return prices, coo
     C = np.zeros((n_items + n_dummy, len(bids)))
     for j, (bundle, _) in enumerate(bids):
         for item in bundle:
@@ -192,9 +214,14 @@ def make_sparse_problem(
     from ..core.problem import round_up
     from ..ops import sparse as sparse_ops
 
+    def inst_shape(Ci):
+        if isinstance(Ci, tuple):              # COO (rows, cols, vals, shape)
+            return Ci[3]
+        return np.asarray(Ci).shape
+
     bs = [-np.asarray(p, dtype=np.float64) for p, _ in instances]
     ns = [b.shape[0] for b in bs]
-    ms = [C.shape[0] for _, C in instances]
+    ms = [inst_shape(C)[0] for _, C in instances]
     n = n_pad or round_up(max(ns), align)
     m = m_pad or round_up(max(ms), align)
     B = len(instances)
@@ -207,9 +234,13 @@ def make_sparse_problem(
         b_arr[i, : ns[i]] = bi
         rmask[i, : ms[i]] = True
         vmask[i, : ns[i]] = True
-        rows, cols = np.nonzero(np.asarray(Ci))
-        coos.append((rows, cols,
-                     np.asarray(Ci)[rows, cols].astype(np.float32)))
+        if isinstance(Ci, tuple):
+            rows, cols, vals, _ = Ci
+            coos.append((rows, cols, np.asarray(vals, np.float32)))
+        else:
+            rows, cols = np.nonzero(np.asarray(Ci))
+            coos.append((rows, cols,
+                         np.asarray(Ci)[rows, cols].astype(np.float32)))
     E = sparse_ops.from_coo(coos, (m, n))
     import jax.numpy as jnp
     return LpProblem(b=jnp.asarray(b_arr), E=E, f=jnp.asarray(f_arr),

@@ -28,23 +28,46 @@ CACHE = os.path.join(ROOT, "bench_cache")
 
 
 def get_instances(n_items, n_bids, batch):
+    """Generate/cache instances; COO end-to-end above 20k bids (a
+    dense C at the reference's 1e5-bid rungs would be ~16 GB)."""
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"ca_{n_items}_{n_bids}_{batch}.npz")
+    coo = n_bids > 20_000
+    tag = "ca_coo" if coo else "ca"
+    path = os.path.join(CACHE, f"{tag}_{n_items}_{n_bids}_{batch}.npz")
     if os.path.exists(path):
-        z = np.load(path, allow_pickle=True)
-        return list(zip(z["prices"], z["Cs"]))
+        z = np.load(path, allow_pickle=False)
+        if not coo:
+            zo = np.load(path, allow_pickle=True)
+            return list(zip(zo["prices"], zo["Cs"]))
+        insts = []
+        for i in range(batch):
+            insts.append((z[f"p{i}"],
+                          (z[f"r{i}"], z[f"c{i}"], z[f"v{i}"],
+                           tuple(z[f"s{i}"]))))
+        return insts
     from lpbox_admm_tpu.adapters import ca
     rng = np.random.RandomState(2207 + n_bids)
     t0 = time.time()
     insts = []
     for i in range(batch):
         insts.append(ca.generate_cauction(rng, n_items=n_items,
-                                          n_bids=n_bids))
+                                          n_bids=n_bids,
+                                          return_coo=coo))
         print(f"  gen {i + 1}/{batch} ({time.time()-t0:.0f}s)",
               flush=True)
-    np.savez(path,
-             prices=np.array([p for p, _ in insts], dtype=object),
-             Cs=np.array([C for _, C in insts], dtype=object))
+    if coo:
+        arrs = {}
+        for i, (p, (r, c, v, s)) in enumerate(insts):
+            arrs[f"p{i}"] = p
+            arrs[f"r{i}"] = r
+            arrs[f"c{i}"] = c
+            arrs[f"v{i}"] = v
+            arrs[f"s{i}"] = np.asarray(s)
+        np.savez(path, **arrs)
+    else:
+        np.savez(path,
+                 prices=np.array([p for p, _ in insts], dtype=object),
+                 Cs=np.array([C for _, C in insts], dtype=object))
     return insts
 
 
@@ -69,6 +92,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--cap", type=int, default=12000)
     ap.add_argument("--window", type=int, default=500)
+    ap.add_argument("--linsolve", default="woodbury",
+                    choices=["woodbury", "cg"],
+                    help="woodbury needs the dense (m, m) Gram inverse "
+                         "-- use cg at rungs whose m (incl. dummy "
+                         "items) reaches tens of thousands")
     ap.add_argument("--no-oracle", action="store_true")
     ap.add_argument("--probe", action="store_true",
                     help="fixed-iteration per-step cost probe")
@@ -96,7 +124,9 @@ def main():
     print(f"sparse problem: m={E.m} n={E.n} Kr={E.row_idx.shape[-1]} "
           f"Kc={E.col_idx.shape[-1]} built {time.time()-t0:.1f}s",
           flush=True)
-    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    cfg = LP_CONFIG.replace(linsolve=args.linsolve)
+    if isinstance(insts[0][1], tuple):
+        args.no_oracle = True        # COO instances: no dense CPU solve
 
     if args.probe:
         # fixed-iteration cost, immune to early-exit luck

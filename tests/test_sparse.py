@@ -183,3 +183,28 @@ def test_empty_block():
     assert out.shape == (2, 0)
     out_t = sparse.mtv(S, jnp.zeros((2, 0)))
     np.testing.assert_array_equal(np.asarray(out_t), np.zeros((2, 5)))
+
+
+def test_coo_generator_matches_dense():
+    """generate_cauction(return_coo=True) produces the same instance as
+    the dense path (same RNG stream), and make_sparse_problem accepts
+    both forms in one batch."""
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+
+    p1, C = ca.generate_cauction(np.random.RandomState(5), 20, 60)
+    p2, coo = ca.generate_cauction(np.random.RandomState(5), 20, 60,
+                                   return_coo=True)
+    np.testing.assert_allclose(p1, p2)
+    r, c, v, shape = coo
+    D = np.zeros(shape)
+    D[r, c] = v
+    np.testing.assert_allclose(D, C)
+    prob = ca.make_sparse_problem([(p1, C), (p2, coo)])
+    st = lp.solve(prob, LP_CONFIG.replace(linsolve="woodbury"),
+                  window=100, max_iters=3000)
+    obj = np.asarray(lp.objective(st))
+    # identical instances -> identical objectives
+    assert obj[0] == obj[1]
