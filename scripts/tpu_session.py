@@ -90,6 +90,11 @@ def main():
             "sparse_probe")
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x10000", "--batch", "8"], "sparse_rung")
+        # mega rung (1e5 bids, COO end-to-end; m with dummies ~2e4 ->
+        # CG): fixed-iteration probe only, convergence needs ~1e4 iters
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "2", "--probe",
+             "--linsolve", "cg"], "sparse_mega_probe")
     if "attack_victim" in phases:
         run("experiments/run_attack.py",
             ["-phase", "solve", "-n", "32",
