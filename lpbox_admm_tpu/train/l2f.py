@@ -212,6 +212,28 @@ _general_compact_jit = jax.jit(general.compact_sparse,
 
 
 @jax.jit
+def _persist_fix_snapshot(gstate, idx, free_full, fixed_full):
+    """Scatter the flat problem's CURRENT fixing state back into the
+    full-grid snapshot.  Must run before every re-compaction: slots
+    fixed inside the flat problem may not be selected into the smaller
+    bucket, and the final reassembly would otherwise fall back to the
+    stale snapshot and silently zero their fixed values (bug found by
+    the 1e5-px A/B: compact quality collapsed only with recompaction
+    enabled)."""
+    B = idx.shape[0]
+    shp = free_full.shape
+
+    def scat(base_flat, vals):
+        return jax.vmap(lambda fb, ib, vb: fb.at[ib].set(vb))(
+            base_flat, idx, vals)
+
+    free2 = scat(free_full.reshape(B, -1), gstate.free).reshape(shp)
+    fixed2 = scat(fixed_full.reshape(B, -1),
+                  gstate.fixed_val).reshape(shp)
+    return free2, fixed2
+
+
+@jax.jit
 def _qp_reassemble(gstate, idx, free_full, fixed_full, state0, prob):
     """Scatter the compacted flat state back into a full-grid QpState
     (drop-in for the l2f_solve return value; one dispatch)."""
@@ -323,6 +345,10 @@ def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
             mf = int(jax.device_get(max_free))
             n_b2 = _bucket(mf, min_bucket, n_b)
             if n_b2 <= n_b // 2:
+                # persist fixes made inside the current flat problem:
+                # their slots may be dropped by the smaller bucket
+                free_full, fixed_full = _persist_fix_snapshot(
+                    gstate, idx, free_full, fixed_full)
                 gstate, gprob, idx2 = _general_compact_jit(
                     gstate, gprob, n_b2)
                 idx = jnp.take_along_axis(idx, idx2, axis=-1)

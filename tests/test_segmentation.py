@@ -331,6 +331,19 @@ def test_l2f_compact_qp_matches_l2f_solve(seg_batch):
     assert np.all(np.abs(eb - ea) / (np.abs(ea) + 1.0) < 0.01), (ea, eb)
     # the compact path actually fixed pixels and iterated compacted
     assert int(np.asarray((~st_b.free) & prob.mask).sum()) > 0
+    # fixes made INSIDE the flat problem must survive re-compaction
+    # (regression: slots fixed in window 2 were dropped by the smaller
+    # bucket and reassembly zeroed their values -- 1e5-px quality
+    # collapsed until _persist_fix_snapshot)
+    np.testing.assert_array_equal(
+        np.asarray((~st_b.free) & prob.mask).sum((-2, -1)),
+        np.asarray((~st_a.free) & prob.mask).sum((-2, -1)))
+    same_fix = np.asarray(st_a.free == st_b.free)[m].mean()
+    assert same_fix >= 0.995, same_fix
+    both_fixed = np.asarray(~st_a.free & ~st_b.free & prob.mask)
+    np.testing.assert_allclose(
+        np.asarray(st_b.fixed_val)[both_fixed],
+        np.asarray(st_a.fixed_val)[both_fixed])
 
 
 def test_qp_refine_boundary(seg_batch):
