@@ -86,11 +86,13 @@ def _sweep_kernel(sc_ref, E_ref, M_ref, rhs_ref, x0_ref, shift_ref,
 
     # Mosaic-friendly layout discipline: every vector stays RANK-2
     # (1, NB) end to end -- no rank-1 ops, no .at[].set scatter; A and
-    # acc assemble by concatenation.
-    rho = sc_ref[0, 0]
-    gamma = sc_ref[0, 1]
-    rho_nx = sc_ref[0, 2]
-    s_t = sc_ref[0, 3]
+    # acc assemble by concatenation.  Operand layouts keep the LAST TWO
+    # dims of every block equal to the array's (or (8k, 128k)): n-vectors
+    # arrive rank-4 (B, nbc, 1, nb) so the per-cell block is (1,1,1,nb).
+    rho = sc_ref[0, 0, 0]
+    gamma = sc_ref[0, 0, 1]
+    rho_nx = sc_ref[0, 0, 2]
+    s_t = sc_ref[0, 0, 3]
     c = rho + rho
 
     E_t = E_ref[0]
@@ -103,13 +105,13 @@ def _sweep_kernel(sc_ref, E_ref, M_ref, rhs_ref, x0_ref, shift_ref,
     etu, etex0 = T[0:1], T[1:2]                # (1, NB) each
     etw_b = (T[2:3], T[3:4])
 
-    rhs = rhs_ref[0]                           # (1, NB)
-    x0 = x0_ref[0]
-    shift_t = shift_ref[0]
-    z1 = z1_ref[0]
-    z2 = z2_ref[0]
-    bb = b_ref[0]
-    fr = free_ref[0]                           # f32 mask
+    rhs = rhs_ref[0, 0]                        # (1, NB)
+    x0 = x0_ref[0, 0]
+    shift_t = shift_ref[0, 0]
+    z1 = z1_ref[0, 0]
+    z2 = z2_ref[0, 0]
+    bb = b_ref[0, 0]
+    fr = free_ref[0, 0]                        # f32 mask
 
     y2 = 0.5 + s_t * shift_t                   # shift is free-masked
     x_b2 = (x0,                                # keep branch (= free*y1)
@@ -156,7 +158,7 @@ def _sweep_kernel(sc_ref, E_ref, M_ref, rhs_ref, x0_ref, shift_ref,
     F_o[...] += jax.lax.dot_general(
         A, E_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)[None]
-    acc_o[...] += jnp.concatenate(acc, axis=1)
+    acc_o[...] += jnp.concatenate(acc, axis=1).reshape(acc_o.shape)
 
 
 def _pick_nb(n: int, nb: Optional[int] = None) -> int:
@@ -234,6 +236,7 @@ def _glue(carry: StreamCarry, outs, prob, cfg: SolverConfig,
     B, n = st.x.shape
     (xk, xe, z1k, z1e, z2k, z2e, y1k, y1e, bask, base, shfk, shfe,
      F, acc) = outs
+    acc = acc.reshape(B, _NACC)
 
     def nflat(a):
         return a.reshape(B, n)
@@ -405,15 +408,18 @@ def _run_sweep_ops(carry: StreamCarry, E_op, prob, cfg: SolverConfig,
         jnp.zeros((B,), jnp.float32),
         jnp.zeros((B,), jnp.float32),
         jnp.zeros((B,), jnp.float32),
-    ], axis=1)
+    ], axis=1)[:, None, :]                     # (B, 1, 8)
 
+    # Mosaic's lowering requires each block's LAST TWO dims to equal the
+    # array's (or divide (8, 128)); n-vectors therefore travel rank-4
+    # (B, nbc, 1, nb) so the per-cell (1, 1, 1, nb) block complies.
     def nsplit(a):
-        return a.reshape(B, nbc, nb)
+        return a.reshape(B, nbc, 1, nb)
 
-    nspec = pl.BlockSpec((1, 1, nb), lambda b, j: (b, j, 0),
+    nspec = pl.BlockSpec((1, 1, 1, nb), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 8), lambda b, j: (b, 0),
+        pl.BlockSpec((1, 1, 8), lambda b, j: (b, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, m, nb), lambda b, j: (b, 0, j),
                      memory_space=pltpu.VMEM),
@@ -421,15 +427,15 @@ def _run_sweep_ops(carry: StreamCarry, E_op, prob, cfg: SolverConfig,
                      memory_space=pltpu.VMEM),
         nspec, nspec, nspec, nspec, nspec, nspec, nspec,
     ]
-    nshape = jax.ShapeDtypeStruct((B, nbc, nb), jnp.float32)
+    nshape = jax.ShapeDtypeStruct((B, nbc, 1, nb), jnp.float32)
     out_shapes = [nshape] * 12 + [
         jax.ShapeDtypeStruct((B, 2 * _NF, m), jnp.float32),
-        jax.ShapeDtypeStruct((B, _NACC), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, _NACC), jnp.float32),
     ]
     out_specs = [nspec] * 12 + [
         pl.BlockSpec((1, 2 * _NF, m), lambda b, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, _NACC), lambda b, j: (b, 0),
+        pl.BlockSpec((1, 1, _NACC), lambda b, j: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     free_f = st.free.astype(jnp.float32)

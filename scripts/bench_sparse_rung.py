@@ -145,7 +145,8 @@ def main():
         iters = 500
         best = np.inf
         for rep in range(3):
-            s2 = st._replace(x=perturb(st.x, rep))
+            s2 = st._replace(
+                x=perturb(np.random.RandomState(rep), st.x))
             t0 = time.time()
             s2 = win(s2, prob, cfg, iters)
             np.asarray(s2.x)
