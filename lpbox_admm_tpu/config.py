@@ -212,6 +212,16 @@ class PolicyConfig:
     # sweep): a global gate=0.5 cut max gap 7.4% -> 4.7% but fixes
     # 374 -> 249; the floor recovers the volume.
     damage_rank_floor: float = 0.0
+    # Two-net ensemble veto (active only when a second checkpoint's
+    # variables are passed to the l2f solve): a fix decision by the
+    # primary net must not be CONTRADICTED by the veto net -- fix-to-1
+    # additionally requires sigma2 > 1 - ensemble_veto, fix-to-0
+    # requires sigma2 < ensemble_veto.  0.5 vetoes only active
+    # disagreement (net2 leaning the other side); smaller values demand
+    # positive agreement.  Wrong confident fixes are model-specific
+    # (STATUS r2 issue 1: the gap tail is 3-4 locked-in wrong fixes),
+    # so independently-trained nets decorrelate exactly there.
+    ensemble_veto: float = 0.5
     lr: float = 1e-4
     lr_decay_step: int = 2000
     lr_decay_factor: float = 0.5

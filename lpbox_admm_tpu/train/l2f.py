@@ -466,19 +466,21 @@ def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
     "model", "cfg", "pcfg", "ws", "policy_windows", "fuse", "scorer",
     "max_iter", "interpret"))
 def _policy_phase(state, prob, variables, model, cfg, pcfg, ws,
-                  policy_windows, fuse, scorer, max_iter, interpret):
+                  policy_windows, fuse, scorer, max_iter, interpret,
+                  variables2=None):
     """Jitted phase 1 of l2f_solve_compact (module-level so repeat calls
     hit the jit cache)."""
 
-    def score_rows(rows):
+    def score_rows(rows, vs=None):
+        vs = variables if vs is None else vs
         if scorer == "pallas":
             from ..models.pallas_policy import policy_scores_pallas
-            return policy_scores_pallas(variables, rows, pcfg,
+            return policy_scores_pallas(vs, rows, pcfg,
                                         interpret=interpret)
         if scorer == "fast":
             from ..models.fast_policy import fast_policy_scores
-            return fast_policy_scores(variables, rows, pcfg)
-        return policy_scores(model, variables, rows, pcfg)
+            return fast_policy_scores(vs, rows, pcfg)
+        return policy_scores(model, vs, rows, pcfg)
 
     def cond(c):
         s, w, _, _ = c
@@ -504,6 +506,13 @@ def _policy_phase(state, prob, variables, model, cfg, pcfg, ws,
         margins = fix_margins(prob.b, prob.var_mask, pcfg)
         conf1 = sig > 1.0 - margins
         conf0 = sig < margins
+        if variables2 is not None:
+            # ensemble veto: an independently-trained net must not
+            # contradict the fix (PolicyConfig.ensemble_veto)
+            sig2 = score_rows(rows, variables2).reshape(s.x.shape)
+            v = pcfg.ensemble_veto
+            conf1 = conf1 & (sig2 > 1.0 - v)
+            conf0 = conf0 & (sig2 < v)
         if pcfg.fix_agree_gate:
             # veto fixes that contradict the trajectory (config.py:
             # fix_agree_gate): the window's own iterates are in hand
@@ -628,7 +637,8 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       scorer: Optional[str] = None,
                       repair_rounds: int = 0,
                       swap_rounds: int = 0,
-                      timings: Optional[dict] = None):
+                      timings: Optional[dict] = None,
+                      variables2=None):
     """LP l2f solve with bucketed physical compaction.
 
     TWO dispatches, one host round trip between them (per-dispatch
@@ -697,7 +707,8 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
         try:
             state, max_free, max_rows = _policy_phase(
                 state, prob, variables, model, cfg, pcfg, ws,
-                policy_windows, fuse, sc, max_iter, interpret)
+                policy_windows, fuse, sc, max_iter, interpret,
+                variables2=variables2)
             scorer = sc
             break
         except Exception as e:

@@ -33,7 +33,12 @@ def main():
     ap.add_argument("--fix-windows", type=int, default=2)
     ap.add_argument("--policy-windows", type=int, default=3)
     ap.add_argument("--checkpoint", default=None,
-                    help="policy checkpoint (default: shipped ca500_mha)")
+                    help="policy checkpoint (default: shipped ca500_mha); "
+                         "comma list compares several against ONE oracle")
+    ap.add_argument("--checkpoint2", default=None,
+                    help="second checkpoint enabling the ensemble veto")
+    ap.add_argument("--veto", default="0.5",
+                    help="comma list of ensemble_veto thresholds")
     ap.add_argument("--repair", type=int, default=0,
                     help="greedy-repair rounds applied to BOTH sides")
     ap.add_argument("--swap", type=int, default=0,
@@ -69,14 +74,14 @@ def main():
     print(f"plain oracle: mean={plain_objs.mean():.1f} "
           f"({time.time()-t0:.0f}s)", flush=True)
 
-    ckpt = args.checkpoint or os.path.join(
+    default_ckpt = os.path.join(
         ROOT, "checkpoints", "ca500_mha", "checkpoint",
         "best_checkpoint.npz")
+    ckpts = (args.checkpoint or default_ckpt).split(",")
     model = build_policy("mha")
     base_pcfg = PolicyConfig(net="mha", fix_confidence=args.conf,
                              fix_windows=args.fix_windows)
     trainer = PolicyTrainer(model, base_pcfg, cfg, ws=100)
-    variables = trainer.variables(trainer.load(ckpt))
 
     def parse_gate(s):
         if ":" in s:
@@ -84,33 +89,45 @@ def main():
             return float(g), float(q)
         return float(s), 0.0
 
-    for stride, cap, K, dgq in itertools.product(
-            [int(s) for s in args.strides.split(",")],
-            [int(c) for c in args.caps.split(",")],
-            [int(k) for k in args.ks.split(",")],
-            [parse_gate(g) for g in args.damage_gates.split(",")]):
-        dg, dq = dgq
-        c = cfg.replace(incumbent_stride=stride)
-        pcfg = base_pcfg.replace(damage_gate=dg, damage_rank_floor=dq)
-        tm = {}
-        t0 = time.time()
-        _, out = l2f.l2f_solve_compact(
-            prob, model, variables, c, pcfg, ws=100,
-            policy_windows=args.policy_windows, use_fused=True,
-            rho_boost_iters=K, max_iter=cap,
-            repair_rounds=args.repair, swap_rounds=args.swap,
-            timings=tm)
-        objs = np.asarray(out["obj"])
-        gap = (objs - plain_objs) / np.abs(plain_objs)
-        infeas = np.asarray(out["infeasible"])
-        print(f"stride={stride} cap={cap} K={K} dg={dg}:{dq} "
-              f"mean={gap.mean():+.4f} "
-              f"max={gap.max():+.4f} "
-              f"infeas={int((infeas>0).sum())} "
-              f"fixed={np.asarray(out['n_fixed']).mean():.0f} "
-              f"it={int(out['iterations'])} "
-              f"paths={tm.get('scorer')}/{tm.get('residual_path')} "
-              f"({time.time()-t0:.0f}s)", flush=True)
+    variables2 = None
+    if args.checkpoint2:
+        variables2 = trainer.variables(trainer.load(args.checkpoint2))
+    vetoes = [float(v) for v in args.veto.split(",")]
+
+    for ckpt in ckpts:
+        variables = trainer.variables(trainer.load(ckpt))
+        tag = os.path.basename(os.path.dirname(os.path.dirname(ckpt)))
+        for stride, cap, K, dgq, veto in itertools.product(
+                [int(s) for s in args.strides.split(",")],
+                [int(c) for c in args.caps.split(",")],
+                [int(k) for k in args.ks.split(",")],
+                [parse_gate(g) for g in args.damage_gates.split(",")],
+                vetoes):
+            dg, dq = dgq
+            c = cfg.replace(incumbent_stride=stride)
+            pcfg = base_pcfg.replace(damage_gate=dg, damage_rank_floor=dq,
+                                     ensemble_veto=veto)
+            tm = {}
+            t0 = time.time()
+            _, out = l2f.l2f_solve_compact(
+                prob, model, variables, c, pcfg, ws=100,
+                policy_windows=args.policy_windows, use_fused=True,
+                rho_boost_iters=K, max_iter=cap,
+                repair_rounds=args.repair, swap_rounds=args.swap,
+                timings=tm, variables2=variables2)
+            objs = np.asarray(out["obj"])
+            gap = (objs - plain_objs) / np.abs(plain_objs)
+            infeas = np.asarray(out["infeasible"])
+            vtag = f" veto={veto}" if variables2 is not None else ""
+            print(f"[{tag}]{vtag} stride={stride} cap={cap} K={K} "
+                  f"dg={dg}:{dq} "
+                  f"mean={gap.mean():+.4f} "
+                  f"max={gap.max():+.4f} "
+                  f"infeas={int((infeas>0).sum())} "
+                  f"fixed={np.asarray(out['n_fixed']).mean():.0f} "
+                  f"it={int(out['iterations'])} "
+                  f"paths={tm.get('scorer')}/{tm.get('residual_path')} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -338,3 +338,43 @@ def test_fix_margins_risk_calibration():
     np.testing.assert_allclose(m1[0], 0.02, rtol=1e-5)
     np.testing.assert_allclose(m1[1], 0.02 * 0.25, rtol=1e-5)
     assert m1[2] > m1[1] and m1[2] < m1[3] < m1[0]
+
+
+def test_ensemble_veto_reduces_fixing():
+    """A second net can only VETO fixes (never add): with variables2 an
+    untrained random net (sigmas near 0.5) and veto < 0.5, the fixed
+    count cannot exceed the single-net run; veto=1.0 disables the veto
+    and reproduces it exactly."""
+    import numpy as np
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG, PolicyConfig
+    from lpbox_admm_tpu.models.policy import build_policy
+    from lpbox_admm_tpu.train import l2f
+    from lpbox_admm_tpu.train.imitation import PolicyTrainer
+
+    rng = np.random.RandomState(7)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(2)]
+    prob = ca.make_problem(insts)
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    model = build_policy("mlp")
+    import jax
+    import jax.numpy as jnp
+
+    pcfg = PolicyConfig(net="mlp", fix_confidence=0.6, node_size=8,
+                        chunk_dim=5)
+    trainer = PolicyTrainer(model, pcfg, cfg, ws=40)
+    sample = jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim))
+    v1 = trainer.variables(trainer.init(jax.random.PRNGKey(0), sample))
+    v2 = trainer.variables(trainer.init(jax.random.PRNGKey(1), sample))
+
+    def run(variables2, veto):
+        _, out = l2f.l2f_solve_compact(
+            prob, model, v1, cfg, pcfg.replace(ensemble_veto=veto),
+            ws=40, policy_windows=2, max_iter=2000,
+            variables2=variables2)
+        return int(np.asarray(out["n_fixed"]).sum())
+
+    solo = run(None, 0.5)
+    assert run(v2, 1.0) == solo          # veto disabled
+    assert run(v2, 0.25) <= solo         # veto can only remove fixes
