@@ -65,12 +65,20 @@ def main():
     import functools
 
     t0 = time.time()
-    st = pallas_lp.solve_fused(prob, cfg, window=100, bt=8)
-    _, plain_objs, _ = jax.jit(functools.partial(
-        lp.select_solution, repair_rounds=args.repair,
-        swap_rounds=args.swap))(
-        prob, lp.solution(st), lp.solution_best(st))
-    plain_objs = np.asarray(plain_objs)
+    ocache = os.path.join(ROOT, "bench_cache",
+                          f"sweep_oracle_{B}_r{args.repair}"
+                          f"_s{args.swap}.npy")
+    if os.path.exists(ocache):
+        plain_objs = np.load(ocache)
+    else:
+        st = pallas_lp.solve_fused(prob, cfg, window=100, bt=8)
+        _, plain_objs, _ = jax.jit(functools.partial(
+            lp.select_solution, repair_rounds=args.repair,
+            swap_rounds=args.swap))(
+            prob, lp.solution(st), lp.solution_best(st))
+        plain_objs = np.asarray(plain_objs)
+        os.makedirs(os.path.dirname(ocache), exist_ok=True)
+        np.save(ocache, plain_objs)
     print(f"plain oracle: mean={plain_objs.mean():.1f} "
           f"({time.time()-t0:.0f}s)", flush=True)
 

@@ -124,6 +124,20 @@ def main():
             common + ["-compact", "1", "-refine_iters", "10",
                       "-result_dir", "result_seg1e5"],
             "seg1e5_refine")
+    if "probe_stream_only" in phases:
+        # re-run after the rank-4 layout fix (xla baselines already
+        # measured: 135.2k inst-iters/s at 300x1500, 17.0k at 800x4000)
+        for rung in ("300x1500", "800x4000"):
+            run("scripts/probe_iter_cost.py",
+                ["--rung", rung, "--iters", "500", "--path", "stream"],
+                f"probe_stream_{rung}")
+    if "sparse_probe_only" in phases:
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8", "--probe"],
+            "sparse_probe")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "2", "--probe",
+             "--linsolve", "cg"], "sparse_mega_probe")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")
