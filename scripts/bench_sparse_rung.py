@@ -100,6 +100,12 @@ def main():
     ap.add_argument("--no-oracle", action="store_true")
     ap.add_argument("--probe", action="store_true",
                     help="fixed-iteration per-step cost probe")
+    ap.add_argument("--dense", action="store_true",
+                    help="dense bf16 E instead of the ELL layout: the "
+                         "XLA gather lowering serializes (~40 cycles/"
+                         "element, probe_sparse_ops.py), so whenever "
+                         "dense E fits HBM the MXU streaming path is "
+                         "the TPU-native choice at this rung")
     args = ap.parse_args()
     n_items, n_bids = map(int, args.rung.split("x"))
 
@@ -119,12 +125,22 @@ def main():
     print(f"backend: {jax.default_backend()}", flush=True)
     insts = get_instances(n_items, n_bids, args.batch)
     t0 = time.time()
-    prob = ca.make_sparse_problem(insts)
-    E = prob.E
-    print(f"sparse problem: m={E.m} n={E.n} Kr={E.row_idx.shape[-1]} "
-          f"Kc={E.col_idx.shape[-1]} built {time.time()-t0:.1f}s",
-          flush=True)
-    cfg = LP_CONFIG.replace(linsolve=args.linsolve)
+    if args.dense:
+        if isinstance(insts[0][1], tuple):
+            raise SystemExit("--dense needs dense cached instances")
+        prob = ca.make_problem(insts)
+        gb = prob.E.size * 2 / 1e9
+        print(f"dense problem: E {prob.E.shape} bf16 ~{gb:.2f} GB, "
+              f"built {time.time()-t0:.1f}s", flush=True)
+        cfg = LP_CONFIG.replace(linsolve=args.linsolve,
+                                matvec_dtype="bfloat16")
+    else:
+        prob = ca.make_sparse_problem(insts)
+        E = prob.E
+        print(f"sparse problem: m={E.m} n={E.n} Kr={E.row_idx.shape[-1]} "
+              f"Kc={E.col_idx.shape[-1]} built {time.time()-t0:.1f}s",
+              flush=True)
+        cfg = LP_CONFIG.replace(linsolve=args.linsolve)
     if isinstance(insts[0][1], tuple):
         args.no_oracle = True        # COO instances: no dense CPU solve
 
@@ -165,7 +181,8 @@ def main():
     obj = np.asarray(obj)
     infeas = np.asarray(infeas)
     wall = time.time() - t0
-    print(f"TPU sparse woodbury: {args.batch} inst in {wall:.1f}s = "
+    kind = "dense-bf16" if args.dense else "sparse"
+    print(f"TPU {kind} {args.linsolve}: {args.batch} inst in {wall:.1f}s = "
           f"{args.batch / wall:.2f} inst/s; block iters {iters}; "
           f"mean obj {obj.mean():.1f}; infeasible {int(infeas.sum())}",
           flush=True)

@@ -138,6 +138,16 @@ def main():
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x100000", "--batch", "2", "--probe",
              "--linsolve", "cg"], "sparse_mega_probe")
+    if "sparse_ops" in phases:
+        # component-level gather-vs-dense timings (safe: woodbury only;
+        # the CG mega probe crashed the worker on 2026-08-18 and stays
+        # quarantined behind cg_bisect)
+        run("scripts/probe_sparse_ops.py",
+            ["--rung", "1000x10000", "--batch", "8"], "sparse_ops")
+    if "dense_rung_10k" in phases:
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8", "--dense"],
+            "dense_rung_10k")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")
