@@ -248,6 +248,69 @@ def make_sparse_problem(
                      var_mask=jnp.asarray(vmask))
 
 
+def make_dense_bf16_problem(
+    instances: Sequence[Tuple[np.ndarray, np.ndarray]],
+    n_pad: Optional[int] = None,
+    m_pad: Optional[int] = None,
+    align: int = 128,
+) -> LpProblem:
+    """Dense E built ON DEVICE from COO triplets, stored bfloat16.
+
+    The MXU-streaming answer to the very-large rungs (the XLA gather
+    lowering of the ELL layout serializes at ~40 cycles/element on TPU,
+    scripts/probe_sparse_ops.py): 0/1 CA entries are bf16-exact, so
+
+      * ``core/lp._emv`` streams E once per pass in bf16 with the
+        3-limb vector split (f32-equivalent trajectories),
+      * ``woodbury.factorize`` accumulates the Gram in f32 straight
+        from bf16 (``core/lp._E32`` passthrough),
+
+    and the f32 (B, m, n) never exists on host, tunnel, or HBM -- e.g.
+    4 GB instead of 8 GB per (1000 items, 1e5 bids) instance.  E is
+    assembled by a one-time donated scatter from the COO indices
+    (~4 MB uploaded instead of the 4 GB matrix)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from ..core.problem import round_up
+
+    def inst_coo(Ci):
+        if isinstance(Ci, tuple):
+            rows, cols, vals, shape = Ci
+            return rows, cols, np.asarray(vals, np.float32), shape
+        Ci = np.asarray(Ci)
+        rows, cols = np.nonzero(Ci)
+        return rows, cols, Ci[rows, cols].astype(np.float32), Ci.shape
+
+    bs = [-np.asarray(p, dtype=np.float64) for p, _ in instances]
+    coos = [inst_coo(C) for _, C in instances]
+    ns = [b.shape[0] for b in bs]
+    ms = [c[3][0] for c in coos]
+    n = n_pad or round_up(max(ns), align)
+    m = m_pad or round_up(max(ms), align)
+    B = len(instances)
+    b_arr = np.zeros((B, n), np.float32)
+    rmask = np.zeros((B, m), bool)
+    vmask = np.zeros((B, n), bool)
+    for i, bi in enumerate(bs):
+        b_arr[i, : ns[i]] = bi
+        rmask[i, : ms[i]] = True
+        vmask[i, : ns[i]] = True
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def scatter(E, i, rows, cols, vals):
+        return E.at[i, rows, cols].set(vals.astype(E.dtype))
+
+    E = jnp.zeros((B, m, n), jnp.bfloat16)
+    for i, (rows, cols, vals, _) in enumerate(coos):
+        E = scatter(E, jnp.int32(i), jnp.asarray(rows, jnp.int32),
+                    jnp.asarray(cols, jnp.int32), jnp.asarray(vals))
+    return LpProblem(b=jnp.asarray(b_arr), E=E,
+                     f=jnp.ones((B, m), jnp.float32),
+                     row_mask=jnp.asarray(rmask),
+                     var_mask=jnp.asarray(vmask))
+
+
 def generate_batch(seed: int, count: int, n_items: int = 100,
                    n_bids: int = 500, **kw) -> LpProblem:
     """Generate ``count`` seeded instances and batch them."""

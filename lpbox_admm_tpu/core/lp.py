@@ -101,8 +101,17 @@ def _wb_ratio(cfg: SolverConfig) -> float:
 
 
 def _E32(E):
-    """E as f32 for factorization (SparseEll is stored f32 already)."""
-    return E if sparse_ops.is_sparse(E) else E.astype(jnp.float32)
+    """E for Gram factorization.
+
+    f32-stored problems cast to f32 (ADVICE r2: a downstream bf16 VIEW
+    must never reach the Gram).  An E *stored* bfloat16 passes through:
+    storing bf16 asserts the entries are bf16-exact (the 0/1 CA
+    matrices), and ``woodbury.factorize``'s einsum accumulates f32 from
+    bf16 inputs exactly -- so the f32 densification (8 GB at the
+    (1000, 1e5) rung, vs 4 GB bf16) never materializes anywhere."""
+    if sparse_ops.is_sparse(E) or E.dtype == jnp.bfloat16:
+        return E
+    return E.astype(jnp.float32)
 
 
 def _w_vec(f_eff, ex, z4, rho4):

@@ -56,8 +56,14 @@ def factorize(E, free: jnp.ndarray, ratio: float) -> WoodburyFactor:
         G = sparse_ops.gram(E, free)
     else:
         Ef = E * free[:, None, :].astype(E.dtype)
+        # bf16-stored E (asserted bf16-exact, core/lp._E32): native MXU
+        # bf16 x bf16 -> f32 accumulation is exact for 0/1 entries;
+        # HIGHEST there could make XLA materialize an f32 upcast of E
+        # (8 GB at the (1000, 1e5) rung), which bf16 storage exists to
+        # avoid.
+        prec = None if E.dtype == jnp.bfloat16 else HI
         G = jnp.einsum("bmn,bkn->bmk", Ef, Ef,
-                       preferred_element_type=jnp.float32, precision=HI)
+                       preferred_element_type=jnp.float32, precision=prec)
     m = G.shape[-1]
     G = G + ratio * jnp.eye(m, dtype=G.dtype)
     chol = jnp.linalg.cholesky(G)

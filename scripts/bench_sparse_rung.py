@@ -127,8 +127,11 @@ def main():
     t0 = time.time()
     if args.dense:
         if isinstance(insts[0][1], tuple):
-            raise SystemExit("--dense needs dense cached instances")
-        prob = ca.make_problem(insts)
+            # COO instances: assemble bf16 E on device (no f32 (m, n)
+            # on host/tunnel/HBM -- adapters.ca.make_dense_bf16_problem)
+            prob = ca.make_dense_bf16_problem(insts)
+        else:
+            prob = ca.make_problem(insts)
         gb = prob.E.size * 2 / 1e9
         print(f"dense problem: E {prob.E.shape} bf16 ~{gb:.2f} GB, "
               f"built {time.time()-t0:.1f}s", flush=True)

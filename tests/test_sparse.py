@@ -208,3 +208,60 @@ def test_coo_generator_matches_dense():
     obj = np.asarray(lp.objective(st))
     # identical instances -> identical objectives
     assert obj[0] == obj[1]
+
+def test_lp_dense_bf16_storage_matches_cast_path():
+    """A problem STORED with bf16 E (adapters.ca.make_dense_bf16_problem,
+    the very-large-rung layout that never materializes f32 E) runs the
+    identical iteration as the f32-stored problem under
+    matvec_dtype='bfloat16' (which casts the same 0/1 values to the
+    same bf16 bits): pointwise x agreement over a short window, and
+    the bf16-input Gram factorization (core/lp._E32 passthrough +
+    woodbury.factorize native-precision branch) is exact for 0/1 E."""
+    import jax.numpy as jnp
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.config import LP_CONFIG
+    from lpbox_admm_tpu.core import lp
+    from lpbox_admm_tpu.ops import woodbury
+
+    rng = np.random.RandomState(13)
+    insts = [ca.generate_cauction(rng, n_items=20, n_bids=60)
+             for _ in range(4)]
+    cfg = LP_CONFIG.replace(linsolve="woodbury",
+                            matvec_dtype="bfloat16")
+    fprob = ca.make_problem(insts)
+    bprob = ca.make_dense_bf16_problem(insts)
+    assert bprob.E.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(bprob.E, np.float32), np.asarray(fprob.E))
+    np.testing.assert_array_equal(np.asarray(bprob.var_mask),
+                                  np.asarray(fprob.var_mask))
+    # Gram from bf16 E == Gram from f32 E (0/1 entries, f32 accumulate)
+    free = jnp.asarray(np.asarray(fprob.var_mask))
+    gf = woodbury.factorize(fprob.E, free, 2.0)
+    gb = woodbury.factorize(bprob.E, free, 2.0)
+    np.testing.assert_allclose(np.asarray(gb.ginv), np.asarray(gf.ginv),
+                               rtol=1e-5, atol=1e-6)
+    # identical short-window trajectories (same bf16 bits streamed)
+    fst = lp.init_state(fprob, cfg)
+    bst = lp.init_state(bprob, cfg)
+    fst, _ = lp.solve_window(fst, fprob, cfg, 20, record=False)
+    bst, _ = lp.solve_window(bst, bprob, cfg, 20, record=False)
+    np.testing.assert_allclose(np.asarray(bst.x), np.asarray(fst.x),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_make_dense_bf16_problem_from_coo():
+    """COO-tuple instances (the >20k-bid generator output) assemble the
+    same device matrix as the dense-array form."""
+    from lpbox_admm_tpu.adapters import ca
+
+    rng = np.random.RandomState(17)
+    p1, C1 = ca.generate_cauction(rng, n_items=15, n_bids=40)
+    rows, cols = np.nonzero(C1)
+    coo_inst = (p1, (rows.astype(np.int64), cols.astype(np.int64),
+                     C1[rows, cols].astype(np.float32), C1.shape))
+    a = ca.make_dense_bf16_problem([(p1, C1)])
+    b = ca.make_dense_bf16_problem([coo_inst])
+    np.testing.assert_array_equal(np.asarray(a.E, np.float32),
+                                  np.asarray(b.E, np.float32))
+    np.testing.assert_array_equal(np.asarray(a.b), np.asarray(b.b))
