@@ -226,7 +226,7 @@ def _bootstrap(state, prob, cfg: SolverConfig):
 
 
 def _glue(carry: StreamCarry, outs, prob, cfg: SolverConfig,
-          skip_cvg_at):
+          skip_cvg_at, Gp=None, interpret=False):
     """Resolve the sweep: select the keep/exact branch, finish iteration
     t's convergence/incumbent bookkeeping, and prepare iteration t+1's
     pipeline operands (all O(n)/O(m) XLA work + one G^{-1} matmul)."""
@@ -333,8 +333,15 @@ def _glue(carry: StreamCarry, outs, prob, cfg: SolverConfig,
     s_n = _sphere_scale(pick_s(2, 3), n_act, cfg.projection_lp)
     rhs_n = base_n + rho_nx * s_n[:, None] * shift_n
     Erhs_n = E_base + rho_nx * s_n[:, None] * E_shift
-    u_n = jnp.einsum("bmk,bk->bm", st.ginv, Erhs_n,
-                     preferred_element_type=jnp.float32, precision=HI)
+    if Gp is not None:
+        # triangular-read symmetric G^{-1} apply: ~0.54x the dense
+        # einsum's HBM traffic, the iteration's second-largest stream
+        # (ops/pallas_symm; G^{-1} is cho_solve-symmetric to ~1e-7)
+        from . import pallas_symm
+        u_n = pallas_symm.symm_matvec(Gp, Erhs_n, interpret=interpret)
+    else:
+        u_n = jnp.einsum("bmk,bk->bm", st.ginv, Erhs_n,
+                         preferred_element_type=jnp.float32, precision=HI)
     c_nx = rho_nx + rho_nx
     Ex_exact_n = (ratio / c_nx) * u_n
     Ex0_n = E_y1n
@@ -373,6 +380,12 @@ def lp_window_stream(state, prob, cfg: SolverConfig, window: int,
         E_op = E_op.astype(jnp.bfloat16)
 
     carry0 = _bootstrap(state, prob, cfg)
+    # pack G^{-1}'s lower-triangle blocks once per window (loop-
+    # invariant; XLA hoists it) for the triangular-read apply
+    Gp = None
+    if m % 128 == 0:
+        from . import pallas_symm
+        Gp = pallas_symm.pack_tril_blocks(state.ginv)
 
     def cond(c):
         t, carry = c
@@ -381,7 +394,8 @@ def lp_window_stream(state, prob, cfg: SolverConfig, window: int,
     def body(c):
         t, carry = c
         outs = _run_sweep_ops(carry, E_op, prob, cfg, nb, interpret)
-        carry = _glue(carry, outs, prob, cfg, skip_cvg_at)
+        carry = _glue(carry, outs, prob, cfg, skip_cvg_at, Gp=Gp,
+                      interpret=interpret)
         return t + 1, carry
 
     _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))

@@ -1,0 +1,108 @@
+"""Symmetric matvec reading only the lower-triangle blocks.
+
+The Woodbury x-update applies the symmetric (B, m, m) ``G^{-1}`` to one
+m-vector per ADMM iteration.  At the HBM-bound ladder rungs that read
+is ~43% of the single-stream iteration's traffic (E bf16 13.6 MB +
+G^{-1} f32 11.1 MB at (1664, 4096)); symmetry makes almost half of it
+redundant.  This kernel streams only the m(m+1)/2 lower blocks:
+
+* ``pack_tril_blocks`` reshuffles G^{-1} ONCE per solve window into a
+  dense (B, L, bm, bm) array of the L = T(T+1)/2 lower-triangle blocks
+  (row-major: block l holds block-row i, block-col j with
+  l = i(i+1)/2 + j, j <= i);
+* the kernel walks a linear (B, L) grid -- the block coordinates are
+  recovered from ``l`` by the triangular-number inverse, so the index
+  maps stay pure functions (no scalar prefetch);
+* ``v`` and ``y`` live whole in VMEM per instance (m f32 is KBs);
+  each step accumulates ``y[i] += G_l @ v[j]`` and, off the diagonal,
+  ``y[j] += G_l^T @ v[i]`` at 128-aligned dynamic sublane offsets.
+
+Result: G^{-1} HBM traffic x0.54 (plus the diagonal's m*bm/2), lifting
+the (800, 4000) stream iteration past the two-pass scheme's floor.
+Exactness: uses the lower triangle as truth; ``cho_solve``'s inverse is
+symmetric to f32 rounding (~1e-7 relative), within the solver's noise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_tril_blocks(G: jnp.ndarray, bm: int = 128) -> jnp.ndarray:
+    """(B, m, m) -> (B, L, bm, bm) lower-triangle blocks, row-major."""
+    B, m, m2 = G.shape
+    assert m == m2 and m % bm == 0, (G.shape, bm)
+    T = m // bm
+    ii, jj = np.tril_indices(T)
+    Gb = G.reshape(B, T, bm, T, bm).transpose(0, 1, 3, 2, 4)
+    return Gb[:, ii, jj]                       # (B, L, bm, bm)
+
+
+def _block_coords(l):
+    """Invert l = i(i+1)/2 + j (j <= i); exact for l < ~1e6 despite the
+    f32 sqrt thanks to the +-1 corrections."""
+    lf = l.astype(jnp.float32)
+    i = ((jnp.sqrt(8.0 * lf + 1.0) - 1.0) * 0.5).astype(jnp.int32)
+    i = jnp.where((i + 1) * (i + 2) // 2 <= l, i + 1, i)
+    i = jnp.where(i * (i + 1) // 2 > l, i - 1, i)
+    j = l - i * (i + 1) // 2
+    return i, j
+
+
+def _symm_kernel(G_ref, v_ref, y_ref, *, bm: int):
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        y_ref[...] = jnp.zeros(y_ref.shape, y_ref.dtype)
+
+    i, j = _block_coords(l)
+    G = G_ref[0, 0]                            # (bm, bm)
+    vj = v_ref[0, pl.dslice(j * bm, bm), :]    # (bm, 1)
+    yi = jax.lax.dot_general(G, vj, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    y_ref[0, pl.dslice(i * bm, bm), :] += yi
+
+    @pl.when(i != j)
+    def _():
+        vi = v_ref[0, pl.dslice(i * bm, bm), :]
+        yj = jax.lax.dot_general(G, vi, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        y_ref[0, pl.dslice(j * bm, bm), :] += yj
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "interpret"))
+def symm_matvec(Gp: jnp.ndarray, v: jnp.ndarray, bm: int = 128,
+                interpret: Optional[bool] = None) -> jnp.ndarray:
+    """y = G @ v from the packed lower-triangle blocks ``Gp``.
+
+    Gp: (B, L, bm, bm) from ``pack_tril_blocks``; v: (B, m) f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, L, bm1, bm2 = Gp.shape
+    assert bm1 == bm and bm2 == bm, (Gp.shape, bm)
+    m = v.shape[-1]
+    assert (m // bm) * (m // bm + 1) // 2 == L, (m, bm, L)
+    y = pl.pallas_call(
+        functools.partial(_symm_kernel, bm=bm),
+        grid=(B, L),
+        in_specs=[
+            pl.BlockSpec((1, 1, bm, bm), lambda b, l: (b, l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 1), lambda b, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m, 1), lambda b, l: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, m, 1), jnp.float32),
+        interpret=interpret,
+    )(Gp, v.astype(jnp.float32).reshape(B, m, 1))
+    return y.reshape(B, m)

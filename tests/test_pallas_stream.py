@@ -69,8 +69,13 @@ def test_stream_solve_quality():
         if bool(np.asarray(jnp.all(st.done))) or int(st.it) >= 20000:
             break
     assert bool(np.asarray(jnp.all(st.done)))
-    assert abs(int(st.it) - int(ref.it)) <= 100, (int(st.it),
-                                                  int(ref.it))
+    # iteration counts only broadly comparable: the triangular-read
+    # G^{-1} apply (ops/pallas_symm) differs from the dense einsum at
+    # ~1e-7, which the chaotic trajectory amplifies into a different
+    # (equally valid) stop window (CLAUDE.md: compare objectives,
+    # never iterates/stop luck)
+    assert abs(int(st.it) - int(ref.it)) <= 0.15 * int(ref.it), (
+        int(st.it), int(ref.it))
     _, sobj, sinf = lp.select_solution(prob, lp.solution(st),
                                        lp.solution_best(st))
     assert np.all(np.asarray(sinf) == 0)
