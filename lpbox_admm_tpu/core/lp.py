@@ -133,8 +133,18 @@ def refresh_et_next(state: LpState, prob: LpProblem,
     return state._replace(et_next=et)
 
 
-def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
-    """Initial state: x=1, z=0, y3 = f - E x (reference :550-727)."""
+def init_state(prob: LpProblem, cfg: SolverConfig,
+               gram: Optional[jnp.ndarray] = None,
+               ginv: Optional[jnp.ndarray] = None) -> LpState:
+    """Initial state: x=1, z=0, y3 = f - E x (reference :550-727).
+
+    ``gram``: optional precomputed (B, m, m) unshifted Gram
+    ``E E^T`` (all columns free) for the Woodbury factorization --
+    host-side scipy sparse assembly is O(nnz * K) where the on-device
+    einsum is O(m^2 n), decisive at the (1000, 1e5)-scale rungs.
+    ``ginv``: optional fully-precomputed (B, m, m) inverse of
+    ``ratio I + E E^T`` (host LAPACK) -- the remote XLA compiler has
+    failed outright on the m ~ 2e4 cholesky/cho_solve program."""
     B, n, m = prob.batch, prob.n, prob.m
     dt = prob.b.dtype
     free = prob.var_mask
@@ -151,7 +161,14 @@ def init_state(prob: LpProblem, cfg: SolverConfig) -> LpState:
     best0 = jnp.full((B,), _BEST_INIT, dt) if cfg.feasible_incumbent \
         else cur_obj
     if cfg.linsolve == "woodbury":
-        factor = woodbury.factorize(_E32(prob.E), free, _wb_ratio(cfg))
+        if ginv is not None:
+            factor = woodbury.WoodburyFactor(
+                ginv=ginv.astype(jnp.float32), ratio=_wb_ratio(cfg))
+        elif gram is not None:
+            factor = woodbury.factorize_from_gram(gram, _wb_ratio(cfg))
+        else:
+            factor = woodbury.factorize(_E32(prob.E), free,
+                                        _wb_ratio(cfg))
         # ginv stays f32 even under matvec_dtype="bfloat16": bf16
         # G^{-1} storage was tried (r2b) and REJECTED -- its ~4e-3
         # entry rounding degrades converged objectives up to 30% on
@@ -597,7 +614,10 @@ def solve(prob: LpProblem, cfg: SolverConfig,
 
 def solve_blocked(prob: LpProblem, cfg: SolverConfig, block: int = 8,
                   max_iters: Optional[int] = None, window: int = 500,
-                  stream: bool = False) -> Tuple[LpState, list]:
+                  stream: bool = False,
+                  gram: Optional[jnp.ndarray] = None,
+                  ginv: Optional[jnp.ndarray] = None
+                  ) -> Tuple[LpState, list]:
     """Host-driven blocked solve with per-block early exit.
 
     ``solve``'s single ``while_loop`` gates every instance on the
@@ -637,9 +657,20 @@ def solve_blocked(prob: LpProblem, cfg: SolverConfig, block: int = 8,
             return s
 
     jinit = jax.jit(init_state, static_argnames=("cfg",))
-    probs = [jax.tree_util.tree_map(lambda a: a[lo:lo + block], prob)
-             for lo in range(0, B, block)]
-    states = [jinit(p, cfg) for p in probs]
+    if block == B:
+        # single block: skip the per-block slice -- a[0:B] on device
+        # arrays COPIES, doubling E's HBM footprint (fatal at the
+        # (1000, 1e5) rung where E alone is ~4 GB)
+        probs, grams, ginvs = [prob], [gram], [ginv]
+    else:
+        probs = [jax.tree_util.tree_map(lambda a: a[lo:lo + block], prob)
+                 for lo in range(0, B, block)]
+        grams = [None if gram is None else gram[lo:lo + block]
+                 for lo in range(0, B, block)]
+        ginvs = [None if ginv is None else ginv[lo:lo + block]
+                 for lo in range(0, B, block)]
+    states = [jinit(p, cfg, gram=g, ginv=gi)
+              for p, g, gi in zip(probs, grams, ginvs)]
     iters = [0] * len(probs)
     live = set(range(len(probs)))
     first = True

@@ -64,10 +64,21 @@ def factorize(E, free: jnp.ndarray, ratio: float) -> WoodburyFactor:
         prec = None if E.dtype == jnp.bfloat16 else HI
         G = jnp.einsum("bmn,bkn->bmk", Ef, Ef,
                        preferred_element_type=jnp.float32, precision=prec)
+    return factorize_from_gram(G, ratio)
+
+
+def factorize_from_gram(G: jnp.ndarray, ratio: float) -> WoodburyFactor:
+    """WoodburyFactor from a precomputed UNSHIFTED Gram ``E_f E_f^T``.
+
+    At the very-large rungs the on-device Gram einsum is O(m^2 n)
+    (~4e16 MACs at the (1000, 1e5) rung); host-side scipy sparse
+    ``C @ C.T`` is O(nnz * K) and finishes in under a second, so
+    drivers assemble G on the host and ship the (B, m, m) result
+    (core/lp.init_state(gram=...))."""
     m = G.shape[-1]
-    G = G + ratio * jnp.eye(m, dtype=G.dtype)
+    G = G.astype(jnp.float32) + ratio * jnp.eye(m, dtype=jnp.float32)
     chol = jnp.linalg.cholesky(G)
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=G.dtype), G.shape)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=jnp.float32), G.shape)
     ginv = jax.scipy.linalg.cho_solve((chol, True), eye)
     return WoodburyFactor(ginv=ginv, ratio=ratio)
 

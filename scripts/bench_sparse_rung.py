@@ -100,6 +100,13 @@ def main():
     ap.add_argument("--no-oracle", action="store_true")
     ap.add_argument("--probe", action="store_true",
                     help="fixed-iteration per-step cost probe")
+    ap.add_argument("--stream", action="store_true",
+                    help="single-E-stream Pallas sweep kernel "
+                         "(ops/pallas_stream + triangular G^-1 read)")
+    ap.add_argument("--host-ginv", action="store_true",
+                    help="precompute the Woodbury inverse on host "
+                         "LAPACK (the remote XLA compiler fails on "
+                         "the m~2e4 cholesky program)")
     ap.add_argument("--dense", action="store_true",
                     help="dense bf16 E instead of the ELL layout: the "
                          "XLA gather lowering serializes (~40 cycles/"
@@ -125,6 +132,7 @@ def main():
     print(f"backend: {jax.default_backend()}", flush=True)
     insts = get_instances(n_items, n_bids, args.batch)
     t0 = time.time()
+    gram = ginv = None
     if args.dense:
         if isinstance(insts[0][1], tuple):
             # COO instances: assemble bf16 E on device (no f32 (m, n)
@@ -137,6 +145,35 @@ def main():
               f"built {time.time()-t0:.1f}s", flush=True)
         cfg = LP_CONFIG.replace(linsolve=args.linsolve,
                                 matvec_dtype="bfloat16")
+        if isinstance(insts[0][1], tuple) and args.linsolve == "woodbury":
+            # host-side sparse Gram (O(nnz K), < 1 s) -- the on-device
+            # einsum is O(m^2 n) (~10 min of MXU at the mega rung)
+            import scipy.sparse as sp
+            m = prob.m
+            gram = np.zeros((len(insts), m, m), np.float32)
+            for i, (_, (r, c, v, shape)) in enumerate(insts):
+                C = sp.csr_matrix((np.asarray(v, np.float64), (r, c)),
+                                  shape=tuple(shape))
+                mi = shape[0]
+                gram[i, :mi, :mi] = (C @ C.T).toarray()
+            print(f"host gram ({len(insts)},{m},{m}) built "
+                  f"{time.time()-t0:.1f}s", flush=True)
+            if args.host_ginv:
+                # the remote XLA compiler has failed on the m~2e4
+                # cholesky/cho_solve program; LAPACK it on the host
+                # (padded rows: G row/col zero, shift makes them
+                # ratio*I -> inverse 1/ratio there, harmless since E's
+                # padded rows are zero)
+                from scipy.linalg import cho_factor, cho_solve
+                ratio = 2.0   # (rho1+rho2)/rho4, LP preset
+                ginv = np.empty_like(gram)
+                for i in range(len(insts)):
+                    Gs = gram[i] + ratio * np.eye(m, dtype=np.float32)
+                    ginv[i] = cho_solve(cho_factor(Gs, lower=True),
+                                        np.eye(m, dtype=np.float32))
+                gram = None
+                print(f"host ginv built {time.time()-t0:.1f}s",
+                      flush=True)
     else:
         prob = ca.make_sparse_problem(insts)
         E = prob.E
@@ -144,8 +181,6 @@ def main():
               f"Kc={E.col_idx.shape[-1]} built {time.time()-t0:.1f}s",
               flush=True)
         cfg = LP_CONFIG.replace(linsolve=args.linsolve)
-    if isinstance(insts[0][1], tuple):
-        args.no_oracle = True        # COO instances: no dense CPU solve
 
     if args.probe:
         # fixed-iteration cost, immune to early-exit luck
@@ -158,7 +193,7 @@ def main():
             s, _ = lp.solve_window(s, p, c, w, record=False)
             return s
 
-        st = lp.init_state(prob, cfg)
+        st = lp.init_state(prob, cfg, gram=gram, ginv=ginv)
         st = win(st, prob, cfg, 100)
         np.asarray(st.x)          # warm compile + run
         iters = 500
@@ -178,13 +213,16 @@ def main():
     t0 = time.time()
     state, iters = lp.solve_blocked(prob, cfg, block=min(8, args.batch),
                                     window=args.window,
-                                    max_iters=args.cap)
+                                    max_iters=args.cap, gram=gram,
+                                    ginv=ginv, stream=args.stream)
     sol, obj, infeas = lp.select_solution(prob, lp.solution(state),
                                           lp.solution_best(state))
     obj = np.asarray(obj)
     infeas = np.asarray(infeas)
     wall = time.time() - t0
     kind = "dense-bf16" if args.dense else "sparse"
+    if args.stream:
+        kind += "-stream"
     print(f"TPU {kind} {args.linsolve}: {args.batch} inst in {wall:.1f}s = "
           f"{args.batch / wall:.2f} inst/s; block iters {iters}; "
           f"mean obj {obj.mean():.1f}; infeasible {int(infeas.sum())}",

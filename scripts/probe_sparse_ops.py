@@ -104,20 +104,22 @@ def main():
 
     # --- dense bf16 E passes on the same instances --------------------
     if not isinstance(insts[0][1], tuple):
-        dprob = ca.make_problem(insts)
-        Ebf = dprob.E.astype(jnp.bfloat16)
+        # E must be a jit ARGUMENT: a closure capture becomes an HLO
+        # constant and overflows the axon remote-compile request limit
+        # (HTTP 413; CLAUDE.md)
+        Ebf = ca.make_dense_bf16_problem(insts).E
 
         @jax.jit
-        def de_chain(x):
+        def de_chain(x, E):
             def body(_, x):
-                y = jnp.einsum("bmn,bn->bm", Ebf, x.astype(jnp.bfloat16),
+                y = jnp.einsum("bmn,bn->bm", E, x.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
-                x = jnp.einsum("bmn,bm->bn", Ebf, y.astype(jnp.bfloat16),
+                x = jnp.einsum("bmn,bm->bn", E, y.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
                 return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
             return jax.lax.fori_loop(0, L, body, x)
 
-        t = timed(de_chain, x0)
+        t = timed(lambda x: de_chain(x, Ebf), x0)
         gb = 2 * B * m * n * 2 / 1e9
         print(f"dense bf16 mv+mtv: {1e3 * t / L:.2f} ms/pair "
               f"(~{gb * L / t:.0f} GB/s)", flush=True)
@@ -125,18 +127,18 @@ def main():
     # --- Woodbury G^-1 apply ------------------------------------------
     from lpbox_admm_tpu.ops import woodbury
     factor = woodbury.factorize(S, jnp.ones((B, n), bool), 2.0)
-    ginv = factor.ginv
+    ginv = factor.ginv              # argument, not capture (413 hazard)
 
     @jax.jit
-    def gi_chain(u):
+    def gi_chain(u, G):
         def body(_, u):
-            u = jnp.einsum("bij,bj->bi", ginv, u,
+            u = jnp.einsum("bij,bj->bi", G, u,
                            preferred_element_type=jnp.float32)
             return u / jnp.linalg.norm(u, axis=-1, keepdims=True)
         return jax.lax.fori_loop(0, L, body, u)
 
     u0 = jnp.ones((B, m), jnp.float32)
-    t = timed(gi_chain, u0)
+    t = timed(lambda u: gi_chain(u, ginv), u0)
     print(f"ginv apply: {1e3 * t / L:.2f} ms/apply", flush=True)
 
     # --- full sparse step ---------------------------------------------

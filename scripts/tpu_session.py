@@ -148,6 +148,22 @@ def main():
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x10000", "--batch", "8", "--dense"],
             "dense_rung_10k")
+    if "dense_mega" in phases:
+        # (1000, 1e5): bf16 E ~4 GB -> batch 1 (factorize peak holds
+        # E + chol + eye + ginv); host LAPACK ginv (the remote
+        # compiler failed on the m~2e4 cholesky program); oracle runs
+        # separately on CPU
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--dense",
+             "--host-ginv", "--no-oracle"], "dense_mega")
+    if "stream_rungs" in phases:
+        # stream kernel + triangular G^-1 read at the big rungs
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers", "stream-bf16-c10000"],
+            "ladder_stream_symm")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8", "--dense",
+             "--stream"], "stream_rung_10k")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")
