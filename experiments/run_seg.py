@@ -52,10 +52,17 @@ def parse_args():
                    help="domino (two-pixel) flip descent sweeps after "
                         "the ICM polish, both sides "
                         "(ops/repair.pair_descent; 0 = off)")
-    p.add_argument("-compact", type=int, default=1,
+    p.add_argument("-compact", type=int, default=-1,
                    help="physically compact the l2f residual problem "
                         "between windows in -phase test (the reference's "
-                        "Ma/Mb shrink; 0 = masked full-grid iteration)")
+                        "Ma/Mb shrink; 0 = masked full-grid iteration; "
+                        "-1 = auto: compact on CPU only -- the compacted "
+                        "problem's ELL matvec is gather-based, and TPU "
+                        "XLA gathers serialize (~40 cycles/element, "
+                        "probe_sparse_ops), so on TPU the full-grid "
+                        "stencil conv is faster than any shrunken "
+                        "gather form: 57s vs 337s for the 24-image "
+                        "1e5-px eval at identical quality)")
     p.add_argument("-refine_iters", type=int, default=0,
                    help="post-fix refinement: re-free boundary-band "
                         "fixed pixels and run this many extra ADMM "
@@ -166,6 +173,8 @@ def main():
             args.save_dir, "checkpoint", "best_checkpoint.npz")
         ts = trainer.load(path)
         t0 = time.time()
+        if args.compact == -1:
+            args.compact = int(jax.default_backend() == "cpu")
         if args.compact:
             state = l2f.l2f_solve_compact_qp(
                 eval_prob, model, trainer.variables(ts), cfg, pcfg,
