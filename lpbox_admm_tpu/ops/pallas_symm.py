@@ -3,22 +3,26 @@
 The Woodbury x-update applies the symmetric (B, m, m) ``G^{-1}`` to one
 m-vector per ADMM iteration.  At the HBM-bound ladder rungs that read
 is ~43% of the single-stream iteration's traffic (E bf16 13.6 MB +
-G^{-1} f32 11.1 MB at (1664, 4096)); symmetry makes almost half of it
-redundant.  This kernel streams only the m(m+1)/2 lower blocks:
+G^{-1} f32 11.1 MB per instance at (1664, 4096)); symmetry makes
+almost half of it redundant.  This kernel streams only the
+L = T(T+1)/2 lower blocks:
 
 * ``pack_tril_blocks`` reshuffles G^{-1} ONCE per solve window into a
-  dense (B, L, bm, bm) array of the L = T(T+1)/2 lower-triangle blocks
-  (row-major: block l holds block-row i, block-col j with
-  l = i(i+1)/2 + j, j <= i);
-* the kernel walks a linear (B, L) grid -- the block coordinates are
+  dense (L, B, bm, bm) array of the lower-triangle blocks (row-major:
+  slot l holds block-row i, block-col j with l = i(i+1)/2 + j, j <= i);
+* the kernel walks a linear (L,) grid -- the block coordinates are
   recovered from ``l`` by the triangular-number inverse, so the index
   maps stay pure functions (no scalar prefetch);
-* ``v`` and ``y`` live whole in VMEM per instance (m f32 is KBs);
-  each step accumulates ``y[i] += G_l @ v[j]`` and, off the diagonal,
-  ``y[j] += G_l^T @ v[i]`` at 128-aligned dynamic sublane offsets.
+* the BATCH lives inside each grid step: one step DMAs the (B, bm, bm)
+  slab (MBs, amortizing the per-step grid overhead -- a (B, L) grid of
+  per-instance (bm, bm) matvecs measured 3x SLOWER than the dense
+  einsum from ~0.5 us/step overhead x B*L steps) and performs batched
+  MXU dots; ``v`` and ``y`` stay whole in VMEM ((B, m) f32 is KBs);
+* each step accumulates ``y[:, i] += G_l @ v[:, j]`` and, off the
+  diagonal, ``y[:, j] += G_l^T @ v[:, i]`` at 128-aligned dynamic
+  sublane offsets.
 
-Result: G^{-1} HBM traffic x0.54 (plus the diagonal's m*bm/2), lifting
-the (800, 4000) stream iteration past the two-pass scheme's floor.
+Result: G^{-1} HBM traffic x0.54 (plus the diagonal's m*bm/2 slack).
 Exactness: uses the lower triangle as truth; ``cho_solve``'s inverse is
 symmetric to f32 rounding (~1e-7 relative), within the solver's noise.
 """
@@ -36,13 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pack_tril_blocks(G: jnp.ndarray, bm: int = 128) -> jnp.ndarray:
-    """(B, m, m) -> (B, L, bm, bm) lower-triangle blocks, row-major."""
+    """(B, m, m) -> (L, B, bm, bm) lower-triangle blocks, row-major."""
     B, m, m2 = G.shape
     assert m == m2 and m % bm == 0, (G.shape, bm)
     T = m // bm
     ii, jj = np.tril_indices(T)
     Gb = G.reshape(B, T, bm, T, bm).transpose(0, 1, 3, 2, 4)
-    return Gb[:, ii, jj]                       # (B, L, bm, bm)
+    return Gb[:, ii, jj].transpose(1, 0, 2, 3)   # (L, B, bm, bm)
 
 
 def _block_coords(l):
@@ -57,25 +61,30 @@ def _block_coords(l):
 
 
 def _symm_kernel(G_ref, v_ref, y_ref, *, bm: int):
-    l = pl.program_id(1)
+    # v/y stay natural rank-2 (B, m) -- an (B, m, 1) layout would pad
+    # the lane dim 128x in VMEM; the bm-sized lane-dim dynamic slices
+    # here are 128-aligned (tile-aligned), which Mosaic supports
+    l = pl.program_id(0)
 
     @pl.when(l == 0)
     def _():
         y_ref[...] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
     i, j = _block_coords(l)
-    G = G_ref[0, 0]                            # (bm, bm)
-    vj = v_ref[0, pl.dslice(j * bm, bm), :]    # (bm, 1)
-    yi = jax.lax.dot_general(G, vj, (((1,), (0,)), ((), ())),
+    G = G_ref[0]                               # (B, bm, bm)
+    bdims = (((2,), (1,)), ((0,), (0,)))       # G @ v_blk, batched
+    tdims = (((1,), (1,)), ((0,), (0,)))       # G^T @ v_blk, batched
+    vj = v_ref[:, pl.dslice(j * bm, bm)]       # (B, bm)
+    yi = jax.lax.dot_general(G, vj, bdims,
                              preferred_element_type=jnp.float32)
-    y_ref[0, pl.dslice(i * bm, bm), :] += yi
+    y_ref[:, pl.dslice(i * bm, bm)] += yi
 
     @pl.when(i != j)
     def _():
-        vi = v_ref[0, pl.dslice(i * bm, bm), :]
-        yj = jax.lax.dot_general(G, vi, (((0,), (0,)), ((), ())),
+        vi = v_ref[:, pl.dslice(i * bm, bm)]
+        yj = jax.lax.dot_general(G, vi, tdims,
                                  preferred_element_type=jnp.float32)
-        y_ref[0, pl.dslice(j * bm, bm), :] += yj
+        y_ref[:, pl.dslice(j * bm, bm)] += yj
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "interpret"))
@@ -83,26 +92,26 @@ def symm_matvec(Gp: jnp.ndarray, v: jnp.ndarray, bm: int = 128,
                 interpret: Optional[bool] = None) -> jnp.ndarray:
     """y = G @ v from the packed lower-triangle blocks ``Gp``.
 
-    Gp: (B, L, bm, bm) from ``pack_tril_blocks``; v: (B, m) f32.
+    Gp: (L, B, bm, bm) from ``pack_tril_blocks``; v: (B, m) f32.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    B, L, bm1, bm2 = Gp.shape
+    L, B, bm1, bm2 = Gp.shape
     assert bm1 == bm and bm2 == bm, (Gp.shape, bm)
     m = v.shape[-1]
     assert (m // bm) * (m // bm + 1) // 2 == L, (m, bm, L)
     y = pl.pallas_call(
         functools.partial(_symm_kernel, bm=bm),
-        grid=(B, L),
+        grid=(L,),
         in_specs=[
-            pl.BlockSpec((1, 1, bm, bm), lambda b, l: (b, l, 0, 0),
+            pl.BlockSpec((1, B, bm, bm), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, 1), lambda b, l: (b, 0, 0),
+            pl.BlockSpec((B, m), lambda l: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m, 1), lambda b, l: (b, 0, 0),
+        out_specs=pl.BlockSpec((B, m), lambda l: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, m, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
         interpret=interpret,
-    )(Gp, v.astype(jnp.float32).reshape(B, m, 1))
-    return y.reshape(B, m)
+    )(Gp, v.astype(jnp.float32))
+    return y

@@ -34,7 +34,7 @@ def test_symm_matvec_matches_dense():
         G = _sym(rng, B, m)
         v = rng.randn(B, m).astype(np.float32)
         Gp = pallas_symm.pack_tril_blocks(jnp.asarray(G), bm)
-        assert Gp.shape == (B, (m // bm) * (m // bm + 1) // 2, bm, bm)
+        assert Gp.shape == ((m // bm) * (m // bm + 1) // 2, B, bm, bm)
         got = np.asarray(pallas_symm.symm_matvec(Gp, jnp.asarray(v), bm))
         want = np.einsum("bij,bj->bi", G, v)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
@@ -49,4 +49,4 @@ def test_pack_tril_roundtrip_diag():
     for i in range(m // bm):
         l = i * (i + 1) // 2 + i
         np.testing.assert_array_equal(
-            Gp[:, l], G[:, i * bm:(i + 1) * bm, i * bm:(i + 1) * bm])
+            Gp[l], G[:, i * bm:(i + 1) * bm, i * bm:(i + 1) * bm])
