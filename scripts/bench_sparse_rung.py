@@ -168,9 +168,15 @@ def main():
                 ratio = 2.0   # (rho1+rho2)/rho4, LP preset
                 ginv = np.empty_like(gram)
                 for i in range(len(insts)):
-                    Gs = gram[i] + ratio * np.eye(m, dtype=np.float32)
-                    ginv[i] = cho_solve(cho_factor(Gs, lower=True),
-                                        np.eye(m, dtype=np.float32))
+                    # factor in f64: the f32 factorization of the
+                    # m~2e4 Gram loses enough digits to break the
+                    # x-update (dense_mega 2026-08-18: 97 infeasible
+                    # rows); the f32 CAST of the f64 inverse is fine
+                    Gs = gram[i].astype(np.float64) \
+                        + ratio * np.eye(m, dtype=np.float64)
+                    ginv[i] = cho_solve(
+                        cho_factor(Gs, lower=True),
+                        np.eye(m, dtype=np.float64)).astype(np.float32)
                 gram = None
                 print(f"host ginv built {time.time()-t0:.1f}s",
                       flush=True)

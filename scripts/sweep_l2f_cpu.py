@@ -43,6 +43,10 @@ def main():
                     help="greedy-repair rounds applied to BOTH sides")
     ap.add_argument("--swap", type=int, default=0,
                     help="1-for-1 swap-repair rounds, both sides")
+    ap.add_argument("--portfolio", action="store_true",
+                    help="also report best-of(l2f, cap-limited plain "
+                         "fused): a signal-free tail cap -- max gap "
+                         "<= the capped plain solve's by construction")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -81,6 +85,26 @@ def main():
         np.save(ocache, plain_objs)
     print(f"plain oracle: mean={plain_objs.mean():.1f} "
           f"({time.time()-t0:.0f}s)", flush=True)
+
+    pobjs_cap = None
+    if args.portfolio:
+        pc = os.path.join(ROOT, "bench_cache",
+                          f"sweep_plaincap_{B}_r{args.repair}"
+                          f"_s{args.swap}.npy")
+        if os.path.exists(pc):
+            pobjs_cap = np.load(pc)
+        else:
+            stc = pallas_lp.solve_fused(prob, cfg, window=100, bt=8,
+                                        max_iters=10000)
+            _, pobjs_cap, _ = jax.jit(functools.partial(
+                lp.select_solution, repair_rounds=args.repair,
+                swap_rounds=args.swap))(
+                prob, lp.solution(stc), lp.solution_best(stc))
+            pobjs_cap = np.asarray(pobjs_cap)
+            np.save(pc, pobjs_cap)
+        gap_c = (pobjs_cap - plain_objs) / np.abs(plain_objs)
+        print(f"plain cap-10000 side: gap mean={gap_c.mean():+.4f} "
+              f"max={gap_c.max():+.4f}", flush=True)
 
     default_ckpt = os.path.join(
         ROOT, "checkpoints", "ca500_mha", "checkpoint",
@@ -127,13 +151,19 @@ def main():
             gap = (objs - plain_objs) / np.abs(plain_objs)
             infeas = np.asarray(out["infeasible"])
             vtag = f" veto={veto}" if variables2 is not None else ""
+            ptag = ""
+            if pobjs_cap is not None:
+                pgap = (np.minimum(objs, pobjs_cap) - plain_objs) \
+                    / np.abs(plain_objs)
+                ptag = (f" port_mean={pgap.mean():+.4f}"
+                        f" port_max={pgap.max():+.4f}")
             print(f"[{tag}]{vtag} stride={stride} cap={cap} K={K} "
                   f"dg={dg}:{dq} "
                   f"mean={gap.mean():+.4f} "
                   f"max={gap.max():+.4f} "
                   f"infeas={int((infeas>0).sum())} "
                   f"fixed={np.asarray(out['n_fixed']).mean():.0f} "
-                  f"it={int(out['iterations'])} "
+                  f"it={int(out['iterations'])}{ptag} "
                   f"paths={tm.get('scorer')}/{tm.get('residual_path')} "
                   f"({time.time()-t0:.0f}s)", flush=True)
 

@@ -156,6 +156,11 @@ def main():
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x100000", "--batch", "1", "--dense",
              "--host-ginv", "--no-oracle"], "dense_mega")
+    if "symm_check" in phases:
+        # MUST pass before any perf run that includes symm_matvec
+        # (interpret mode is not evidence: the v1 kernel passed it and
+        # was wrong on the chip)
+        run("scripts/check_symm_tpu.py", [], "symm_check")
     if "stream_rungs" in phases:
         # stream kernel + triangular G^-1 read at the big rungs
         run("scripts/bench_ladder.py",
