@@ -63,6 +63,11 @@ def parse_args():
                         "stencil conv is faster than any shrunken "
                         "gather form: 57s vs 337s for the 24-image "
                         "1e5-px eval at identical quality)")
+    p.add_argument("-refine_rounds", type=int, default=1,
+                   help="repeat the re-free + iterate cycle on the "
+                        "moved boundary this many times")
+    p.add_argument("-refine_band", type=int, default=1,
+                   help="8-neighbour radius of the re-freed band")
     p.add_argument("-refine_iters", type=int, default=0,
                    help="post-fix refinement: re-free boundary-band "
                         "fixed pixels and run this many extra ADMM "
@@ -185,7 +190,9 @@ def main():
                                   max_iter=args.max_eval_iters)
         if args.refine_iters > 0:
             state = l2f.qp_refine_boundary(state, eval_prob, cfg,
-                                           iters=args.refine_iters)
+                                           iters=args.refine_iters,
+                                           rounds=args.refine_rounds,
+                                           band=args.refine_band)
         jax.block_until_ready(state.x)
         wall = time.time() - t0
         m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,

@@ -361,7 +361,8 @@ def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iters"))
 def qp_refine_boundary(state, prob, cfg: SolverConfig,
-                       iters: int = 10):
+                       iters: int = 10, rounds: int = 1,
+                       band: int = 1):
     """Post-fix refinement window for the seg l2f solve (VERDICT r2
     item 6): re-free the fixed pixels that sit on the current solution
     BOUNDARY (any 8-neighbour labelled differently) -- the band where
@@ -370,34 +371,49 @@ def qp_refine_boundary(state, prob, cfg: SolverConfig,
 
     Interior pixels (uniform neighbourhoods) stay fixed, so the
     re-freed set is a thin band: the refinement costs a few extra
-    masked iterations, not a re-solve.  Returns the refined QpState
-    (same reporting interface)."""
+    masked iterations, not a re-solve.  ``band`` dilates the re-freed
+    band to that 8-neighbour radius; ``rounds`` repeats the whole
+    re-free + iterate cycle on the MOVED boundary (each round re-reads
+    the current solution).  Returns the refined QpState (same
+    reporting interface)."""
     from ..ops.stencil import OFFSETS, shift as st_shift
 
     dt = state.x.dtype
-    sol = qp.solution(state) * prob.mask.astype(dt)
-    differs = jnp.zeros(sol.shape, bool)
-    for dr, dc in OFFSETS:
-        nb = st_shift(sol, dr, dc)
-        inb = st_shift(prob.mask.astype(dt), dr, dc) > 0.5
-        differs = differs | (inb & (nb != sol))
-    refree = (~state.free) & prob.mask & differs
-    free2 = state.free | refree
-    fixed2 = jnp.where(refree, 0.0, state.fixed_val)
-    b_eff2 = prob.b + 2.0 * prob.stencil.a_matvec(
-        (~free2).astype(dt) * fixed2)
-    # re-freed pixels re-enter the relaxation at their fixed value
-    # with fresh duals; everything else keeps its iterate
-    x2 = jnp.where(refree, state.fixed_val, state.x)
-    z0 = lambda z: jnp.where(refree, 0.0, z)
-    st2 = state._replace(
-        x=x2, y1=jnp.where(refree, state.fixed_val, state.y1),
-        y2=jnp.where(refree, state.fixed_val, state.y2),
-        z1=z0(state.z1), z2=z0(state.z2),
-        free=free2, fixed_val=fixed2, b_eff=b_eff2,
-        done=jnp.zeros_like(state.done))
-    st2, _ = qp.solve_window(st2, prob, cfg, iters, record=False)
-    return st2
+
+    def one_round(state):
+        sol = qp.solution(state) * prob.mask.astype(dt)
+        differs = jnp.zeros(sol.shape, bool)
+        for dr, dc in OFFSETS:
+            nb = st_shift(sol, dr, dc)
+            inb = st_shift(prob.mask.astype(dt), dr, dc) > 0.5
+            differs = differs | (inb & (nb != sol))
+        for _ in range(band - 1):          # dilate to the band radius
+            wide = differs
+            for dr, dc in OFFSETS:
+                wide = wide | (st_shift(
+                    differs.astype(dt), dr, dc) > 0.5)
+            differs = wide & prob.mask
+        refree = (~state.free) & prob.mask & differs
+        free2 = state.free | refree
+        fixed2 = jnp.where(refree, 0.0, state.fixed_val)
+        b_eff2 = prob.b + 2.0 * prob.stencil.a_matvec(
+            (~free2).astype(dt) * fixed2)
+        # re-freed pixels re-enter the relaxation at their fixed value
+        # with fresh duals; everything else keeps its iterate
+        x2 = jnp.where(refree, state.fixed_val, state.x)
+        z0 = lambda z: jnp.where(refree, 0.0, z)
+        st2 = state._replace(
+            x=x2, y1=jnp.where(refree, state.fixed_val, state.y1),
+            y2=jnp.where(refree, state.fixed_val, state.y2),
+            z1=z0(state.z1), z2=z0(state.z2),
+            free=free2, fixed_val=fixed2, b_eff=b_eff2,
+            done=jnp.zeros_like(state.done))
+        st2, _ = qp.solve_window(st2, prob, cfg, iters, record=False)
+        return st2
+
+    for _ in range(rounds):
+        state = one_round(state)
+    return state
 
 
 def l2f_metrics(state: lp.LpState, prob: LpProblem,
