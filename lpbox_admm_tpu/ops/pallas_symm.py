@@ -61,9 +61,12 @@ def _block_coords(l):
 
 
 def _symm_kernel(G_ref, v_ref, y_ref, *, bm: int):
-    # v/y stay natural rank-2 (B, m) -- an (B, m, 1) layout would pad
-    # the lane dim 128x in VMEM; the bm-sized lane-dim dynamic slices
-    # here are 128-aligned (tile-aligned), which Mosaic supports
+    # v/y travel as (B, T, bm): selecting block j is then a dynamic
+    # index on a SUBLANE-grouped dim (supported), not a lane-dim
+    # dynamic slice (v2 of this kernel crashed the Mosaic compiler
+    # with those), and the dots are standard batched (B, bm) x
+    # (B, bm, bm) contractions (v1's (bm, bm) @ (bm, 1) N=1 matvecs
+    # compiled but mis-executed on-chip).
     l = pl.program_id(0)
 
     @pl.when(l == 0)
@@ -74,17 +77,17 @@ def _symm_kernel(G_ref, v_ref, y_ref, *, bm: int):
     G = G_ref[0]                               # (B, bm, bm)
     bdims = (((2,), (1,)), ((0,), (0,)))       # G @ v_blk, batched
     tdims = (((1,), (1,)), ((0,), (0,)))       # G^T @ v_blk, batched
-    vj = v_ref[:, pl.dslice(j * bm, bm)]       # (B, bm)
+    vj = v_ref[:, j, :]                        # (B, bm)
     yi = jax.lax.dot_general(G, vj, bdims,
                              preferred_element_type=jnp.float32)
-    y_ref[:, pl.dslice(i * bm, bm)] += yi
+    y_ref[:, i, :] += yi
 
     @pl.when(i != j)
     def _():
-        vi = v_ref[:, pl.dslice(i * bm, bm)]
+        vi = v_ref[:, i, :]
         yj = jax.lax.dot_general(G, vi, tdims,
                                  preferred_element_type=jnp.float32)
-        y_ref[:, pl.dslice(j * bm, bm)] += yj
+        y_ref[:, j, :] += yj
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "interpret"))
@@ -99,19 +102,20 @@ def symm_matvec(Gp: jnp.ndarray, v: jnp.ndarray, bm: int = 128,
     L, B, bm1, bm2 = Gp.shape
     assert bm1 == bm and bm2 == bm, (Gp.shape, bm)
     m = v.shape[-1]
-    assert (m // bm) * (m // bm + 1) // 2 == L, (m, bm, L)
+    T = m // bm
+    assert T * (T + 1) // 2 == L, (m, bm, L)
     y = pl.pallas_call(
         functools.partial(_symm_kernel, bm=bm),
         grid=(L,),
         in_specs=[
             pl.BlockSpec((1, B, bm, bm), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, m), lambda l: (0, 0),
+            pl.BlockSpec((B, T, bm), lambda l: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, m), lambda l: (0, 0),
+        out_specs=pl.BlockSpec((B, T, bm), lambda l: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, T, bm), jnp.float32),
         interpret=interpret,
-    )(Gp, v.astype(jnp.float32))
-    return y
+    )(Gp, v.astype(jnp.float32).reshape(B, T, bm))
+    return y.reshape(B, m)
