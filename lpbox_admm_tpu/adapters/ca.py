@@ -253,6 +253,7 @@ def make_dense_bf16_problem(
     n_pad: Optional[int] = None,
     m_pad: Optional[int] = None,
     align: int = 128,
+    dtype=None,
 ) -> LpProblem:
     """Dense E built ON DEVICE from COO triplets, stored bfloat16.
 
@@ -301,7 +302,8 @@ def make_dense_bf16_problem(
     def scatter(E, i, rows, cols, vals):
         return E.at[i, rows, cols].set(vals.astype(E.dtype))
 
-    E = jnp.zeros((B, m, n), jnp.bfloat16)
+    # dtype override (f32) exists for A/B diagnostics at scale
+    E = jnp.zeros((B, m, n), dtype or jnp.bfloat16)
     for i, (rows, cols, vals, _) in enumerate(coos):
         E = scatter(E, jnp.int32(i), jnp.asarray(rows, jnp.int32),
                     jnp.asarray(cols, jnp.int32), jnp.asarray(vals))

@@ -100,6 +100,9 @@ def main():
     ap.add_argument("--no-oracle", action="store_true")
     ap.add_argument("--probe", action="store_true",
                     help="fixed-iteration per-step cost probe")
+    ap.add_argument("--e-dtype", default="bf16",
+                    choices=["bf16", "f32"],
+                    help="dense E storage dtype (f32 = scale-debug A/B)")
     ap.add_argument("--stream", action="store_true",
                     help="single-E-stream Pallas sweep kernel "
                          "(ops/pallas_stream + triangular G^-1 read)")
@@ -134,17 +137,20 @@ def main():
     t0 = time.time()
     gram = ginv = None
     if args.dense:
+        edt = jnp.bfloat16 if args.e_dtype == "bf16" else jnp.float32
         if isinstance(insts[0][1], tuple):
-            # COO instances: assemble bf16 E on device (no f32 (m, n)
-            # on host/tunnel/HBM -- adapters.ca.make_dense_bf16_problem)
-            prob = ca.make_dense_bf16_problem(insts)
+            # COO instances: assemble E on device (no full (m, n)
+            # matrix on host/tunnel -- adapters.ca.make_dense_bf16_problem)
+            prob = ca.make_dense_bf16_problem(insts, dtype=edt)
         else:
             prob = ca.make_problem(insts)
-        gb = prob.E.size * 2 / 1e9
-        print(f"dense problem: E {prob.E.shape} bf16 ~{gb:.2f} GB, "
-              f"built {time.time()-t0:.1f}s", flush=True)
-        cfg = LP_CONFIG.replace(linsolve=args.linsolve,
-                                matvec_dtype="bfloat16")
+        gb = prob.E.size * prob.E.dtype.itemsize / 1e9
+        print(f"dense problem: E {prob.E.shape} {args.e_dtype} "
+              f"~{gb:.2f} GB, built {time.time()-t0:.1f}s", flush=True)
+        cfg = LP_CONFIG.replace(
+            linsolve=args.linsolve,
+            matvec_dtype="bfloat16" if args.e_dtype == "bf16"
+            else "float32")
         if isinstance(insts[0][1], tuple) and args.linsolve == "woodbury":
             # host-side sparse Gram (O(nnz K), < 1 s) -- the on-device
             # einsum is O(m^2 n) (~10 min of MXU at the mega rung)

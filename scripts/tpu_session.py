@@ -156,6 +156,18 @@ def main():
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x100000", "--batch", "1", "--dense",
              "--host-ginv", "--no-oracle"], "dense_mega")
+    if "dense_mega_ab" in phases:
+        # cap-12000 bf16 run was sick (obj -68.5k vs oracle -98.8k,
+        # 97 infeasible; host f32 ginv residual 3e-6 rules out the
+        # factorization): A/B the storage dtype at cap 20000
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--dense",
+             "--host-ginv", "--no-oracle", "--cap", "20000",
+             "--e-dtype", "f32"], "dense_mega_f32")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--dense",
+             "--host-ginv", "--no-oracle", "--cap", "20000"],
+            "dense_mega_bf16_c20k")
     if "symm_check" in phases:
         # MUST pass before any perf run that includes symm_matvec
         # (interpret mode is not evidence: the v1 kernel passed it and
