@@ -169,20 +169,26 @@ def main():
                 # cholesky/cho_solve program; LAPACK it on the host
                 # (padded rows: G row/col zero, shift makes them
                 # ratio*I -> inverse 1/ratio there, harmless since E's
-                # padded rows are zero)
-                from scipy.linalg import cho_factor, cho_solve
-                ratio = 2.0   # (rho1+rho2)/rho4, LP preset
-                ginv = np.empty_like(gram)
-                for i in range(len(insts)):
-                    # factor in f64: the f32 factorization of the
-                    # m~2e4 Gram loses enough digits to break the
-                    # x-update (dense_mega 2026-08-18: 97 infeasible
-                    # rows); the f32 CAST of the f64 inverse is fine
-                    Gs = gram[i].astype(np.float64) \
-                        + ratio * np.eye(m, dtype=np.float64)
-                    ginv[i] = cho_solve(
-                        cho_factor(Gs, lower=True),
-                        np.eye(m, dtype=np.float64)).astype(np.float32)
+                # padded rows are zero).  Cached: ~9 min at m~2e4.
+                gc = os.path.join(CACHE, f"host_ginv_{n_items}_"
+                                         f"{n_bids}_{args.batch}.npy")
+                if os.path.exists(gc):
+                    ginv = np.load(gc)
+                else:
+                    from scipy.linalg import cho_factor, cho_solve
+                    ratio = 2.0   # (rho1+rho2)/rho4, LP preset
+                    ginv = np.empty_like(gram)
+                    for i in range(len(insts)):
+                        # f64 factorization (the f32 one was cleared
+                        # by the residual probe, but f64 costs the
+                        # same here and removes the question)
+                        Gs = gram[i].astype(np.float64) \
+                            + ratio * np.eye(m, dtype=np.float64)
+                        ginv[i] = cho_solve(
+                            cho_factor(Gs, lower=True),
+                            np.eye(m, dtype=np.float64)
+                        ).astype(np.float32)
+                    np.save(gc, ginv)
                 gram = None
                 print(f"host ginv built {time.time()-t0:.1f}s",
                       flush=True)
