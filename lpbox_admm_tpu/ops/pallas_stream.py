@@ -40,6 +40,7 @@ ops/pallas_lp).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -383,7 +384,9 @@ def lp_window_stream(state, prob, cfg: SolverConfig, window: int,
     # pack G^{-1}'s lower-triangle blocks once per window (loop-
     # invariant; XLA hoists it) for the triangular-read apply
     Gp = None
-    if m % 128 == 0:
+    # LPBOX_NO_SYMM=1 falls back to the dense einsum apply (escape
+    # hatch while the symm kernel is validated on-chip per revision)
+    if m % 128 == 0 and not os.environ.get("LPBOX_NO_SYMM"):
         from . import pallas_symm
         Gp = pallas_symm.pack_tril_blocks(state.ginv)
 

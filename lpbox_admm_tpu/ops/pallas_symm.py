@@ -61,33 +61,42 @@ def _block_coords(l):
 
 
 def _symm_kernel(G_ref, v_ref, y_ref, *, bm: int):
-    # v/y travel as (B, T, bm): selecting block j is then a dynamic
-    # index on a SUBLANE-grouped dim (supported), not a lane-dim
-    # dynamic slice (v2 of this kernel crashed the Mosaic compiler
-    # with those), and the dots are standard batched (B, bm) x
-    # (B, bm, bm) contractions (v1's (bm, bm) @ (bm, 1) N=1 matvecs
-    # compiled but mis-executed on-chip).
+    # v4: ZERO dynamic indexing.  v/y stay whole in VMEM as (B, T, bm)
+    # (constant index maps); block i/j selection is a one-hot masked
+    # reduce over the T axis and the accumulate is a one-hot masked
+    # broadcast-add -- pure iota-compare / mul / reduce / dot_general
+    # patterns Mosaic always lowers.  (History: v1's N=1 matvecs
+    # mis-executed on-chip; v2's lane-dim dynamic slices and v3's
+    # sublane dynamic reads + dynamic-offset accumulates both crashed
+    # the Mosaic compiler, HTTP 500.)  The masked ops touch B*T*bm
+    # VMEM elements per step -- noise next to the (B, bm, bm) DMA this
+    # kernel exists to halve.
     l = pl.program_id(0)
+    T = y_ref.shape[1]
 
     @pl.when(l == 0)
     def _():
         y_ref[...] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
     i, j = _block_coords(l)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, bm), 0)
+    mi = (rows == i).astype(jnp.float32)[None]   # (1, T, bm)
+    mj = (rows == j).astype(jnp.float32)[None]
     G = G_ref[0]                               # (B, bm, bm)
     bdims = (((2,), (1,)), ((0,), (0,)))       # G @ v_blk, batched
     tdims = (((1,), (1,)), ((0,), (0,)))       # G^T @ v_blk, batched
-    vj = v_ref[:, j, :]                        # (B, bm)
+    v = v_ref[...]                             # (B, T, bm)
+    vj = jnp.sum(v * mj, axis=1)               # (B, bm)
     yi = jax.lax.dot_general(G, vj, bdims,
                              preferred_element_type=jnp.float32)
-    y_ref[:, i, :] += yi
+    y_ref[...] += yi[:, None, :] * mi
 
     @pl.when(i != j)
     def _():
-        vi = v_ref[:, i, :]
+        vi = jnp.sum(v * mi, axis=1)
         yj = jax.lax.dot_general(G, vi, tdims,
                                  preferred_element_type=jnp.float32)
-        y_ref[:, j, :] += yj
+        y_ref[...] += yj[:, None, :] * mj
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "interpret"))

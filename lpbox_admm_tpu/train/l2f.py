@@ -359,7 +359,8 @@ def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
                           prob)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "iters", "rounds", "band"))
 def qp_refine_boundary(state, prob, cfg: SolverConfig,
                        iters: int = 10, rounds: int = 1,
                        band: int = 1):

@@ -86,11 +86,16 @@ def main():
     labels = ds.labels.reshape(prob.batch, *prob.grid)
 
     for variant in args.variants.split(","):
-        ref_iters = 0
+        ref_iters, ref_rounds, ref_band = 0, 1, 1
         name = variant
         if "+ref" in variant:
+            # syntax: +ref<iters>[r<rounds>][b<band>], e.g. +ref10r2b2
+            import re
             variant, ref = variant.split("+ref")
-            ref_iters = int(ref)
+            mm = re.fullmatch(r"(\d+)(?:r(\d+))?(?:b(\d+))?", ref)
+            ref_iters = int(mm.group(1))
+            ref_rounds = int(mm.group(2) or 1)
+            ref_band = int(mm.group(3) or 1)
         t0 = time.time()
         if variant == "compact":
             state = l2f.l2f_solve_compact_qp(
@@ -101,7 +106,9 @@ def main():
                                   ws=args.ws, max_iter=args.max_iter)
         if ref_iters:
             state = l2f.qp_refine_boundary(state, prob, cfg,
-                                           iters=ref_iters)
+                                           iters=ref_iters,
+                                           rounds=ref_rounds,
+                                           band=ref_band)
         jax.block_until_ready(state.x)
         wall = time.time() - t0
         m = l2f.l2f_metrics_qp(state, prob, ds.oracle_obj, labels,
