@@ -83,8 +83,11 @@ def _symm_kernel(G_ref, v_ref, y_ref, *, bm: int):
     mi = (rows == i).astype(jnp.float32)[None]   # (1, T, bm)
     mj = (rows == j).astype(jnp.float32)[None]
     G = G_ref[0]                               # (B, bm, bm)
+    # Mosaic only implements batched matvecs whose contracting dim is
+    # the LAST dim of both operands ("rhs must be vector-like [B, K]"),
+    # so the transpose-side product materializes G^T in registers
+    # rather than using a dim-1-contracting dot_general.
     bdims = (((2,), (1,)), ((0,), (0,)))       # G @ v_blk, batched
-    tdims = (((1,), (1,)), ((0,), (0,)))       # G^T @ v_blk, batched
     v = v_ref[...]                             # (B, T, bm)
     vj = jnp.sum(v * mj, axis=1)               # (B, bm)
     yi = jax.lax.dot_general(G, vj, bdims,
@@ -94,7 +97,8 @@ def _symm_kernel(G_ref, v_ref, y_ref, *, bm: int):
     @pl.when(i != j)
     def _():
         vi = jnp.sum(v * mi, axis=1)
-        yj = jax.lax.dot_general(G, vi, tdims,
+        Gt = jnp.swapaxes(G, 1, 2)
+        yj = jax.lax.dot_general(Gt, vi, bdims,
                                  preferred_element_type=jnp.float32)
         y_ref[...] += yj[:, None, :] * mj
 

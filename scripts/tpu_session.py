@@ -37,13 +37,21 @@ def run(script, argv, tag):
 
 
 def main():
-    phases = sys.argv[1:] or ["measure", "ladder", "seg1e5", "bench"]
+    argv_phases = sys.argv[1:] or ["measure", "ladder", "seg1e5",
+                                   "bench"]
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"devices={jax.devices()}", flush=True)
 
+    # phases execute in CLI order (each runs once)
+    for phase in argv_phases:
+        phases = [phase]
+        _run_phase(phases)
+
+
+def _run_phase(phases):
     if "measure" in phases:
         run("scripts/measure_l2f.py", ["--ks", "0,5000"], "measure_l2f")
     if "ladder" in phases:
