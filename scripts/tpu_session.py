@@ -189,6 +189,13 @@ def _run_phase(phases):
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x10000", "--batch", "8", "--dense",
              "--stream"], "stream_rung_10k")
+    if "seg_refine" in phases:
+        # widen the post-fix refinement toward the <=3% 1e5-px target
+        # (r3: ref10 measured +6.66% -> +4.61%; sweep rounds/band)
+        run("scripts/eval_seg_1e5.py",
+            ["--variants",
+             "masked+ref10,masked+ref10r2b2,masked+ref20r2b2,"
+             "masked+ref10r3b3"], "seg_refine")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")
