@@ -896,7 +896,7 @@ def solution_best(state: LpState) -> jnp.ndarray:
 
 def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
                     sol_best: jnp.ndarray, repair_rounds: int = 0,
-                    swap_rounds: int = 0):
+                    swap_rounds: int = 0, drop_rounds: int = 0):
     """Pick, per instance, between the final rounding and the best
     feasible incumbent rounding (both full-width, original indices).
 
@@ -911,8 +911,12 @@ def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
     flips in up-to-that-many still-fitting bids, never degrading the
     objective or feasibility.  ``swap_rounds > 0`` follows with 1-for-1
     swap rounds (ops/repair.swap_repair) that can also remove a
-    blocking bid for a better one.  Keep both equal on both sides of
-    any gap comparison (reporting semantics must match).
+    blocking bid for a better one.  ``drop_rounds > 0`` FIRST evicts
+    bids covering violated rows (ops/repair.drop_to_feasible) so an
+    infeasible final rounding -- e.g. an iteration-capped solve whose
+    incumbent never turned feasible -- becomes a reportable feasible
+    solution the refill/swap can then improve.  Keep all three equal on
+    both sides of any gap comparison (reporting semantics must match).
     """
     sols = jnp.stack([sol_last, sol_best], axis=1)          # (B, 2, n)
     ex = _emv("bmn,bkn->bkm", prob.E, sols)
@@ -926,13 +930,16 @@ def select_solution(prob: LpProblem, sol_last: jnp.ndarray,
     sol = jnp.take_along_axis(sols, k[:, None, None], axis=1)[:, 0]
     obj_sel = jnp.take_along_axis(obj, k[:, None], axis=1)[:, 0]
     inf_sel = jnp.take_along_axis(infeas, k[:, None], axis=1)[:, 0]
-    if repair_rounds or swap_rounds:
+    if repair_rounds or swap_rounds or drop_rounds:
         if sparse_ops.is_sparse(prob.E):
             raise ValueError(
                 "greedy/swap repair needs a dense E (per-column slack "
                 "comparisons); call select_solution without repair on "
                 "sparse problems")
-        from ..ops.repair import greedy_repair, swap_repair
+        from ..ops.repair import (drop_to_feasible, greedy_repair,
+                                  swap_repair)
+        if drop_rounds:
+            sol = drop_to_feasible(prob, sol, rounds=drop_rounds)
         if repair_rounds:
             sol = greedy_repair(prob, sol, rounds=repair_rounds)
         if swap_rounds:

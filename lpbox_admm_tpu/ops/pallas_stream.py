@@ -384,9 +384,13 @@ def lp_window_stream(state, prob, cfg: SolverConfig, window: int,
     # pack G^{-1}'s lower-triangle blocks once per window (loop-
     # invariant; XLA hoists it) for the triangular-read apply
     Gp = None
-    # LPBOX_NO_SYMM=1 falls back to the dense einsum apply (escape
-    # hatch while the symm kernel is validated on-chip per revision)
-    if m % 128 == 0 and not os.environ.get("LPBOX_NO_SYMM"):
+    # LPBOX_SYMM=1 opts INTO the triangular-read kernel.  Measured
+    # 2026-08-18 on the chip at (800,4000): exact (symm_check rel err
+    # 5e-7) but the END-TO-END stream solve ran 2.6 inst/s with it vs
+    # 3.4 without -- the one-hot masked select/accumulate (the v4
+    # no-dynamic-indexing workaround for Mosaic) spends more VPU time
+    # than the halved G^-1 DMA saves.  Default is the dense einsum.
+    if m % 128 == 0 and os.environ.get("LPBOX_SYMM"):
         from . import pallas_symm
         Gp = pallas_symm.pack_tril_blocks(state.ginv)
 

@@ -11,6 +11,7 @@ reference-semantics solve for objective sanity.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -259,7 +260,16 @@ def main():
                 st = fn(p2)
                 np.asarray(st.x)
                 wall = time.time() - t0
-                _, objs, infeas = jax.jit(lp.select_solution)(
+                # "-rep" rows report with eviction + refill + swap
+                # (ops/repair): iteration caps below the incumbent's
+                # first-feasible point (~9k at xl) stay reportable
+                rep = "-rep" in name
+                sel = functools.partial(
+                    lp.select_solution,
+                    drop_rounds=64 if rep else 0,
+                    repair_rounds=16 if rep else 0,
+                    swap_rounds=4 if rep else 0)
+                _, objs, infeas = jax.jit(sel)(
                     p2, lp.solution(st), lp.solution_best(st))
                 objs = np.asarray(objs)
                 line = {"wall_s": wall, "inst_per_s": B / wall,

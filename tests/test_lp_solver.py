@@ -285,6 +285,36 @@ def test_greedy_repair():
     np.testing.assert_allclose(out_bad, np.asarray(bad))
 
 
+def test_drop_to_feasible():
+    """Eviction repair: infeasible roundings turn feasible by flipping
+    out covering bids (best coverage-per-price first); feasible
+    roundings and rows are untouched."""
+    from lpbox_admm_tpu.core.problem import stack_lp_instances
+    from lpbox_admm_tpu.ops.repair import drop_to_feasible
+
+    E = np.array([[1, 0, 1, 1],
+                  [0, 1, 1, 0]], dtype=np.float32)
+    b = np.array([-3.0, -2.0, -4.0, -1.0], dtype=np.float32)
+    prob = stack_lp_instances([b, b], [E, E], n_pad=4, m_pad=2)
+    # instance 0: all bids selected (both rows violated); greedy
+    # covering-per-price evicts bid3 (1 row / price 1), then bid1
+    # (tie with bid2 at 0.5, lower index), then bid0 -> [0, 0, 1, 0]
+    # feasible (obj -4; eviction is greedy, not optimal -- the refill/
+    # swap that follow in select_solution recover quality)
+    # instance 1: already feasible -> untouched
+    sol = jnp.asarray([[1.0, 1, 1, 1],
+                       [1.0, 1, 0, 0]])
+    out = np.asarray(drop_to_feasible(prob, sol, rounds=8))
+    np.testing.assert_allclose(out, [[0, 0, 1, 0], [1, 1, 0, 0]])
+    # reached through select_solution(drop_rounds=...): the capped
+    # infeasible rounding becomes a reportable feasible solution
+    sol2, obj2, inf2 = lp.select_solution(
+        prob, sol, sol, drop_rounds=8, repair_rounds=4)
+    assert int(np.asarray(inf2).sum()) == 0
+    ex = np.einsum("mn,bn->bm", E, np.asarray(sol2))
+    assert np.all(ex <= 1 + 1e-6)
+
+
 def test_select_solution_repair_improves(small_batch):
     """repair_rounds never worsens the selected objective and keeps
     feasibility on converged CA solves."""
