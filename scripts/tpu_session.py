@@ -189,6 +189,15 @@ def _run_phase(phases):
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x10000", "--batch", "8", "--dense",
              "--stream"], "stream_rung_10k")
+    if "xl_caps" in phases:
+        # drop-to-feasible reporting unlocks caps below the incumbent's
+        # first-feasible point (~9k): quality gate moves to the
+        # objective; target >=4.1 inst/s (100x) at (800,4000)
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers",
+             "stream-bf16-c10000,stream-bf16-c8000-rep,"
+             "stream-bf16-c6000-rep,stream-bf16-c5000-rep,"
+             "stream-bf16-c10000-rep"], "xl_caps")
     if "seg_refine" in phases:
         # widen the post-fix refinement toward the <=3% 1e5-px target
         # (r3: ref10 measured +6.66% -> +4.61%; sweep rounds/band)
