@@ -86,6 +86,26 @@ class SolverConfig:
     # the E traffic at ladder shapes; bf16-rounding them perturbs the
     # cancellation-sensitive exact x-update).
     matvec_dtype: str = "float32"
+    # Storage dtype for the Woodbury inverse G^{-1}.  At the xl ladder
+    # rung G^{-1} (f32, (m,m)) is ~45% of the per-iteration HBM
+    # traffic after the single-stream E kernel; "bfloat16" halves it.
+    # Unlike E's exact 0/1 entries this IS lossy (~4e-3 entry
+    # rounding): the x-update becomes an inexact solve roughly 4x
+    # looser than the reference's own PCG tolerance (1e-3), and the
+    # drop-to-feasible + refill reporting repair absorbs the quality
+    # noise at the capped xl operating point (measured A/B in
+    # STATUS.md).  Small/mid rungs keep f32 (bf16 G^-1 measured up to
+    # -30% objective there in r2b, where G^-1 traffic doesn't matter
+    # anyway).
+    ginv_dtype: str = "float32"
+    # How the per-iteration u = G^{-1} @ Erhs product is computed:
+    # "dense" = one (B,m,m) einsum; "packed-sym" = read only the
+    # lower-triangle 128x128 blocks (exact f32: G^{-1} is symmetric)
+    # and form both the block matvec and its transpose contribution
+    # as multiply+reduce pairs over ONE packed tensor -- a net HBM
+    # win iff XLA multi-output-fuses the two reductions over the
+    # shared read (ops/symm_xla.py; measured on-chip, STATUS.md).
+    ginv_apply: str = "dense"
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

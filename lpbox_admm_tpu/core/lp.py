@@ -100,6 +100,17 @@ def _wb_ratio(cfg: SolverConfig) -> float:
     return 2.0
 
 
+def _ginv_store(ginv: jnp.ndarray, cfg: SolverConfig) -> jnp.ndarray:
+    """Apply the configured storage dtype to a freshly-computed G^-1.
+
+    The FACTORIZATION is always f32 (ADVICE r2); only the stored copy
+    the iteration streams may opt into bf16 (cfg.ginv_dtype, xl rung).
+    """
+    if cfg.ginv_dtype == "bfloat16":
+        return ginv.astype(jnp.bfloat16)
+    return ginv
+
+
 def _E32(E):
     """E for Gram factorization.
 
@@ -169,12 +180,15 @@ def init_state(prob: LpProblem, cfg: SolverConfig,
         else:
             factor = woodbury.factorize(_E32(prob.E), free,
                                         _wb_ratio(cfg))
-        # ginv stays f32 even under matvec_dtype="bfloat16": bf16
-        # G^{-1} storage was tried (r2b) and REJECTED -- its ~4e-3
-        # entry rounding degrades converged objectives up to 30% on
-        # small instances (the x_exact cancellation amplifies it);
-        # unlike E's exact 0/1 entries there is no free lunch here.
-        ginv = factor.ginv
+        # ginv stays f32 under matvec_dtype="bfloat16" alone: bf16
+        # G^{-1} storage was tried (r2b) and REJECTED at small/mid
+        # rungs -- its ~4e-3 entry rounding degrades converged
+        # objectives up to 30% there (the x_exact cancellation
+        # amplifies it); unlike E's exact 0/1 entries there is no free
+        # lunch.  The xl rung opts in EXPLICITLY via cfg.ginv_dtype
+        # (HBM-bound regime + drop-to-feasible reporting repair; see
+        # config.py and the STATUS.md A/B).
+        ginv = _ginv_store(factor.ginv, cfg)
     else:
         ginv = jnp.zeros((B, 1, 1), dt)
     return LpState(
@@ -531,7 +545,8 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
         # cost up to 30% objective; guard against a bf16 problem view
         # ever reaching this refactorization (round-2 ADVICE)
         factor = woodbury.factorize(_E32(prob.E), free, _wb_ratio(cfg))
-        ginv = jnp.where(do[:, None, None], factor.ginv, state.ginv)
+        ginv = jnp.where(do[:, None, None], _ginv_store(factor.ginv, cfg),
+                         state.ginv)
     else:
         ginv = state.ginv
 
@@ -830,7 +845,7 @@ def compact(state: LpState, prob: LpProblem, cfg: SolverConfig,
                       row_mask=rmask2, var_mask=free2)
     if cfg.linsolve == "woodbury":
         factor = woodbury.factorize(E2, free2, _wb_ratio(cfg))
-        ginv2 = factor.ginv
+        ginv2 = _ginv_store(factor.ginv, cfg)
     else:
         ginv2 = state.ginv
     dt = state.x.dtype

@@ -211,8 +211,7 @@ def _bootstrap(state, prob, cfg: SolverConfig):
     fw = lp_core._emv("bmn,bkn->bkm", prob.E,
                       jnp.stack([rhs, x0], axis=1))
     Erhs, Ex0 = fw[:, 0], fw[:, 1]
-    u = jnp.einsum("bmk,bk->bm", state.ginv, Erhs,
-                   preferred_element_type=jnp.float32, precision=HI)
+    u = lp_core._emv("bmk,bk->bm", state.ginv, Erhs)
     ratio = lp_core._wb_ratio(cfg)
     Ex_exact = (ratio / c) * u
     rho_nx, _ = _rho_gamma(it + 1, cfg)
@@ -334,15 +333,20 @@ def _glue(carry: StreamCarry, outs, prob, cfg: SolverConfig,
     s_n = _sphere_scale(pick_s(2, 3), n_act, cfg.projection_lp)
     rhs_n = base_n + rho_nx * s_n[:, None] * shift_n
     Erhs_n = E_base + rho_nx * s_n[:, None] * E_shift
-    if Gp is not None:
+    if Gp is not None and cfg.ginv_apply == "packed-sym":
+        # triangular-read symmetric apply, pure XLA (ops/symm_xla):
+        # exact f32, 0.54x the packed bytes; a net win iff XLA
+        # sibling-fuses the two reductions over the one packed read
+        from . import symm_xla
+        u_n = symm_xla.symm_matvec(Gp, Erhs_n)
+    elif Gp is not None:
         # triangular-read symmetric G^{-1} apply: ~0.54x the dense
         # einsum's HBM traffic, the iteration's second-largest stream
         # (ops/pallas_symm; G^{-1} is cho_solve-symmetric to ~1e-7)
         from . import pallas_symm
         u_n = pallas_symm.symm_matvec(Gp, Erhs_n, interpret=interpret)
     else:
-        u_n = jnp.einsum("bmk,bk->bm", st.ginv, Erhs_n,
-                         preferred_element_type=jnp.float32, precision=HI)
+        u_n = lp_core._emv("bmk,bk->bm", st.ginv, Erhs_n)
     c_nx = rho_nx + rho_nx
     Ex_exact_n = (ratio / c_nx) * u_n
     Ex0_n = E_y1n
@@ -390,7 +394,12 @@ def lp_window_stream(state, prob, cfg: SolverConfig, window: int,
     # 3.4 without -- the one-hot masked select/accumulate (the v4
     # no-dynamic-indexing workaround for Mosaic) spends more VPU time
     # than the halved G^-1 DMA saves.  Default is the dense einsum.
-    if m % 128 == 0 and os.environ.get("LPBOX_SYMM"):
+    if cfg.ginv_apply == "packed-sym":
+        from . import symm_xla
+        if symm_xla.packable(m):
+            Gp = symm_xla.pack_tril(
+                state.ginv.astype(jnp.float32))
+    elif m % 128 == 0 and os.environ.get("LPBOX_SYMM"):
         from . import pallas_symm
         Gp = pallas_symm.pack_tril_blocks(state.ginv)
 

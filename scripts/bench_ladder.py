@@ -203,6 +203,14 @@ def main():
             for part in s.split("-")[1:]:
                 if part == "bf16":
                     cfg_s = cfg_s.replace(matvec_dtype="bfloat16")
+                elif part == "g16":
+                    # bf16-stored G^-1 (config.ginv_dtype): ~45% of
+                    # the xl per-iteration traffic halved, lossy
+                    cfg_s = cfg_s.replace(ginv_dtype="bfloat16")
+                elif part == "sym":
+                    # packed lower-triangle XLA apply (ops/symm_xla):
+                    # exact f32 at 0.54x the G^-1 bytes if XLA fuses
+                    cfg_s = cfg_s.replace(ginv_apply="packed-sym")
                 elif part.startswith("c"):
                     cap_s = int(part[1:])
                 elif part.startswith("s"):

@@ -205,6 +205,15 @@ def _run_phase(phases):
             ["--variants",
              "masked+ref10,masked+ref10r2b2,masked+ref20r2b2,"
              "masked+ref10r3b3"], "seg_refine")
+    if "xl_ginv" in phases:
+        # G^-1 is ~45% of the xl per-iteration HBM traffic after the
+        # stream kernel: A/B bf16 storage (lossy, halved bytes) and
+        # the packed-symmetric exact read (win iff XLA sibling-fuses)
+        # against the measured 3.3 inst/s c10000-rep baseline
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers",
+             "stream-bf16-g16-c10000-rep,stream-bf16-sym-c10000-rep"],
+            "xl_ginv")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")
