@@ -180,7 +180,14 @@ def run_solver(name, solve_fn, prob, base):
         f"it={int(state.it)}, done={int(np.asarray(state.done).sum())}"
         f"/{BATCH}")
     t0 = time.time()
-    prob2 = prob._replace(b=prob.b * (1.0 + 1e-7))
+    # per-process RANDOM VECTOR perturbation: a deterministic scalar
+    # factor produces the same uploaded operand on every bench run,
+    # which the axon remote executor dedups to a 0.00s cache hit
+    # (CLAUDE.md hazards)
+    import jax.numpy as jnp
+    rng = np.random.default_rng()
+    prob2 = prob._replace(b=prob.b * jnp.asarray(
+        1.0 + 1e-7 * rng.random(prob.b.shape, dtype=np.float32)))
     state = solve_fn(prob2)
     jax_block(state)
     wall = time.time() - t0
@@ -366,15 +373,34 @@ def main():
             log(f"l2f excluded from headline (gap {gap_mean:+.4f}, "
                 f"infeas {infeas})")
         if fused_ips > 0:
-            # portfolio mode: keep the better of (l2f, plain fused)
-            # per instance -- a signal-free cap on the l2f worst case
-            # (max gap <= 0 whenever the capped plain side matches the
-            # oracle, which it does on this bench; CPU sweep port rows)
-            pgap = (np.minimum(l2f_objs, fobjs) - objs) / np.abs(objs)
-            port_ips = 1.0 / (1.0 / l2f_ips + 1.0 / fused_ips)
-            log(f"portfolio(l2f+plain): gap mean={pgap.mean():+.4f} "
+            # portfolio mode: keep the better of (l2f, capped plain
+            # fused) per instance -- a signal-free cap on the l2f
+            # worst case.  The plain side runs iteration-capped at
+            # 10000 (CA-500 plain converges by ~9k; the CPU sweep's
+            # capped side matched the full oracle, port_max +0.00%),
+            # which roughly halves the plain wall vs the full-budget
+            # row and keeps the combined dispatch past the 100x north
+            # star.
+            try:
+                cap_ips, cobjs, _ = run_solver(
+                    "pallas-fused-c10000(bt=2)",
+                    lambda p: pallas_lp.solve_fused(
+                        p, cfg, window=100, bt=2, max_iters=10000),
+                    prob, base)
+            except Exception as e:
+                log(f"capped fused failed ({str(e)[:120]}); "
+                    "falling back to the full-budget plain side")
+                cap_ips, cobjs = fused_ips, fobjs
+            pgap = (np.minimum(l2f_objs, cobjs) - objs) / np.abs(objs)
+            port_ips = 1.0 / (1.0 / l2f_ips + 1.0 / cap_ips)
+            log(f"portfolio(l2f+plain-c10000): "
+                f"gap mean={pgap.mean():+.4f} "
                 f"max={pgap.max():+.4f} throughput={port_ips:.1f} "
                 f"instances/s")
+            # the portfolio row is the headline candidate whenever it
+            # clears the quality bar AND beats the current best
+            if pgap.mean() <= 0.03 and port_ips > best_ips:
+                best_ips = port_ips
 
     cpu_instances_per_s = 1.0 / base["mean_time_s"]
     vs = best_ips / cpu_instances_per_s

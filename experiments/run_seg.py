@@ -68,6 +68,17 @@ def parse_args():
                         "moved boundary this many times")
     p.add_argument("-refine_band", type=int, default=1,
                    help="8-neighbour radius of the re-freed band")
+    p.add_argument("-init_checkpoint", default=None,
+                   help="warm-start -phase train from this policy "
+                        "checkpoint (fine-tune, e.g. adapting the "
+                        "1e4-px sliding policy to 1e5-px statistics; "
+                        "pair with a low -lr)")
+    p.add_argument("-train_image_list", default=None,
+                   help="explicit reference image ids for the -phase "
+                        "train set (keeps fine-tune images disjoint "
+                        "from the -image_list eval set)")
+    p.add_argument("-lr", type=float, default=None,
+                   help="override PolicyConfig.lr (fine-tune)")
     p.add_argument("-refine_iters", type=int, default=0,
                    help="post-fix refinement: re-free boundary-band "
                         "fixed pixels and run this many extra ADMM "
@@ -95,6 +106,8 @@ def main():
     pcfg = PolicyConfig(net=args.net, node_size=5, chunk_dim=5,
                         window_mode="sliding",
                         damage_gate=args.damage_gate)
+    if args.lr is not None:
+        pcfg = pcfg.replace(lr=args.lr)
     paths = (sorted(os.listdir(args.image_dir))
              if args.image_dir else seg.reference_image_paths())
     if args.image_dir:
@@ -148,13 +161,38 @@ def main():
         pair_sweeps=args.pair_sweeps if args.phase == "test" else 0)
 
     if args.phase == "train":
-        train_prob = seg.load_problem(paths[:n_train],
+        train_paths = paths[:n_train]
+        if args.train_image_list:
+            ids = [int(v) for v in args.train_image_list.split(",")]
+            by_id = {os.path.splitext(os.path.basename(p))[0]: p
+                     for p in all_paths}
+            train_paths = [by_id[str(i)] for i in ids]
+        train_prob = seg.load_problem(train_paths,
                                       num_nodes=args.num_nodes)
         train_ds = imitation.build_dataset_qp(train_prob, cfg,
                                               record_iters=5 * args.ws)
-        ts = trainer.init(jax.random.PRNGKey(args.seed),
-                          jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim)))
+        if args.init_checkpoint:
+            ts = trainer.load(args.init_checkpoint)
+        else:
+            ts = trainer.init(
+                jax.random.PRNGKey(args.seed),
+                jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim)))
         best = None
+        if args.init_checkpoint:
+            # fine-tune floor: score the starting policy first so the
+            # kept "best" can never be worse than what we started from
+            state = l2f.l2f_solve(eval_prob, model,
+                                  trainer.variables(ts), cfg, pcfg,
+                                  ws=args.ws,
+                                  max_iter=args.max_eval_iters)
+            m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,
+                                   eval_ds.labels.reshape(
+                                       eval_prob.batch, *eval_prob.grid))
+            best = float(np.mean(np.asarray(m["energy_gap"])))
+            print(f"init: energy_gap={best:+.4f} "
+                  f"fixed={np.asarray(m['n_fixed']).mean():.0f}px",
+                  flush=True)
+            trainer.save(ts, 0, best=True)
         for epoch in range(args.num_epochs):
             ts, loss = trainer.train_epoch(ts, [train_ds], n_episodes=5)
             state = l2f.l2f_solve(eval_prob, model,

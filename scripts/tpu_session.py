@@ -214,6 +214,26 @@ def _run_phase(phases):
             ["--rungs", "800x4000", "--solvers",
              "stream-bf16-g16-c10000-rep,stream-bf16-sym-c10000-rep"],
             "xl_ginv")
+    if "seg_ft" in phases:
+        # 1e5-px fine-tune of the 1e4-px sliding policy (VERDICT r2
+        # item 6): train imgs disjoint from the 24-image test list,
+        # best-ckpt selection on a separate held-out validation list
+        # (no test leakage); final number = eval_seg_1e5 on the test
+        # list with the kept checkpoint
+        run("experiments/run_seg.py",
+            ["-phase", "train", "-num_nodes", "100000",
+             "-train_image_list",
+             "0,1,4,5,6,7,8,9,10,12,13,15,18,19,20,22",
+             "-image_list", "26,28,30,31,35,36,37,38",
+             "-init_checkpoint",
+             "checkpoints/seg_mha/checkpoint/best_checkpoint.npz",
+             "-lr", "1e-5", "-num_epochs", "6",
+             "-save_dir", "checkpoints_r3/seg_mha_ft1e5"], "seg_ft")
+        run("scripts/eval_seg_1e5.py",
+            ["--variants", "masked+ref10r2b2",
+             "--checkpoint",
+             "checkpoints_r3/seg_mha_ft1e5/checkpoint/"
+             "best_checkpoint.npz"], "seg_ft_eval")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")
