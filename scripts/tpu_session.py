@@ -214,6 +214,15 @@ def _run_phase(phases):
             ["--rungs", "800x4000", "--solvers",
              "stream-bf16-g16-c10000-rep,stream-bf16-sym-c10000-rep"],
             "xl_ginv")
+    if "xl_frontier" in phases:
+        # quality-throughput frontier between c8000 (+7% gap0) and
+        # c10000 (-9%): find the cap where rep quality crosses
+        # reference parity (gap0 ~ 0); no new compiles (the cap only
+        # changes the host-side round count over cached window execs)
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers",
+             "stream-bf16-c9000-rep,stream-bf16-c9500-rep"],
+            "xl_frontier")
     if "seg_ft" in phases:
         # 1e5-px fine-tune of the 1e4-px sliding policy (VERDICT r2
         # item 6): train imgs disjoint from the 24-image test list,
