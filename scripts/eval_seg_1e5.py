@@ -42,7 +42,12 @@ def main():
     ap.add_argument("--checkpoint",
                     default=os.path.join(
                         ROOT, "checkpoints", "seg_mha", "checkpoint",
-                        "best_checkpoint.npz"))
+                        "best_checkpoint.npz"),
+                    help="comma list = policy portfolio: evaluate each "
+                         "net under equal semantics and keep the "
+                         "per-image better selected energy (same "
+                         "executable, different weights -- no extra "
+                         "compile)")
     args = ap.parse_args()
 
     import jax
@@ -82,7 +87,10 @@ def main():
 
     model = build_policy("mha")
     trainer = PolicyTrainer(model, pcfg, cfg, ws=args.ws)
-    variables = trainer.variables(trainer.load(args.checkpoint))
+    ckpts = args.checkpoint.split(",")
+    all_variables = [(os.path.basename(
+        os.path.dirname(os.path.dirname(c))) or c,
+        trainer.variables(trainer.load(c))) for c in ckpts]
     labels = ds.labels.reshape(prob.batch, *prob.grid)
 
     for variant in args.variants.split(","):
@@ -96,29 +104,46 @@ def main():
             ref_iters = int(mm.group(1))
             ref_rounds = int(mm.group(2) or 1)
             ref_band = int(mm.group(3) or 1)
-        t0 = time.time()
-        if variant == "compact":
-            state = l2f.l2f_solve_compact_qp(
-                prob, model, variables, cfg, pcfg, ws=args.ws,
-                max_iter=args.max_iter)
-        else:
-            state = l2f.l2f_solve(prob, model, variables, cfg, pcfg,
-                                  ws=args.ws, max_iter=args.max_iter)
-        if ref_iters:
-            state = l2f.qp_refine_boundary(state, prob, cfg,
-                                           iters=ref_iters,
-                                           rounds=ref_rounds,
-                                           band=ref_band)
-        jax.block_until_ready(state.x)
-        wall = time.time() - t0
-        m = l2f.l2f_metrics_qp(state, prob, ds.oracle_obj, labels,
-                               repair_sweeps=args.repair_sweeps,
-                               pair_sweeps=args.pair_sweeps)
-        gap = float(np.mean(np.asarray(m["energy_gap"])))
-        agree = float(np.asarray(m["px_agree"]).mean())
-        print(f"{name}: gap={gap:+.4f} agree={agree:.0f} "
-              f"fixed={np.asarray(m['n_fixed']).mean():.0f}px "
-              f"it={int(m['iterations'])} wall={wall:.2f}s", flush=True)
+        per_net = []
+        for tag, variables in all_variables:
+            t0 = time.time()
+            if variant == "compact":
+                state = l2f.l2f_solve_compact_qp(
+                    prob, model, variables, cfg, pcfg, ws=args.ws,
+                    max_iter=args.max_iter)
+            else:
+                state = l2f.l2f_solve(prob, model, variables, cfg,
+                                      pcfg, ws=args.ws,
+                                      max_iter=args.max_iter)
+            if ref_iters:
+                state = l2f.qp_refine_boundary(state, prob, cfg,
+                                               iters=ref_iters,
+                                               rounds=ref_rounds,
+                                               band=ref_band)
+            jax.block_until_ready(state.x)
+            wall = time.time() - t0
+            m = l2f.l2f_metrics_qp(state, prob, ds.oracle_obj, labels,
+                                   repair_sweeps=args.repair_sweeps,
+                                   pair_sweeps=args.pair_sweeps)
+            gaps = np.asarray(m["energy_gap"])
+            agrees = np.asarray(m["px_agree"])
+            per_net.append((gaps, agrees))
+            print(f"{name}[{tag}]: gap={gaps.mean():+.4f} "
+                  f"agree={agrees.mean():.0f} "
+                  f"fixed={np.asarray(m['n_fixed']).mean():.0f}px "
+                  f"it={int(m['iterations'])} wall={wall:.2f}s",
+                  flush=True)
+        if len(per_net) > 1:
+            # policy portfolio: per-image better selected energy
+            # (equal semantics both nets, same oracle side)
+            G = np.stack([g for g, _ in per_net])      # (C, B)
+            A = np.stack([a for _, a in per_net])
+            pick = G.argmin(axis=0)
+            bg = G[pick, np.arange(G.shape[1])]
+            ba = A[pick, np.arange(A.shape[1])]
+            print(f"{name}[best-of-{len(per_net)}]: "
+                  f"gap={bg.mean():+.4f} agree={ba.mean():.0f}",
+                  flush=True)
 
 
 if __name__ == "__main__":

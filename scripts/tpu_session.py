@@ -223,6 +223,11 @@ def _run_phase(phases):
             ["--rungs", "800x4000", "--solvers",
              "stream-bf16-c9000-rep,stream-bf16-c9500-rep"],
             "xl_frontier")
+    if "xl_c8500" in phases:
+        # last frontier point: the quality cliff sits in (8000, 9000)
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers",
+             "stream-bf16-c8500-rep"], "xl_c8500")
     if "seg_ft" in phases:
         # 1e5-px fine-tune of the 1e4-px sliding policy (VERDICT r2
         # item 6): train imgs disjoint from the 24-image test list,
@@ -243,6 +248,16 @@ def _run_phase(phases):
              "--checkpoint",
              "checkpoints_r3/seg_mha_ft1e5/checkpoint/"
              "best_checkpoint.npz"], "seg_ft_eval")
+    if "seg_portfolio" in phases:
+        # per-image best-of over the shipped and 1e5-px fine-tuned
+        # sliding policies (equal semantics; selection uses only the
+        # l2f sides' own energies)
+        run("scripts/eval_seg_1e5.py",
+            ["--variants", "masked+ref10r2b2",
+             "--checkpoint",
+             "checkpoints/seg_mha/checkpoint/best_checkpoint.npz,"
+             "checkpoints_r3/seg_mha_ft1e5/checkpoint/"
+             "best_checkpoint.npz"], "seg_portfolio")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")
