@@ -79,6 +79,15 @@ def parse_args():
                         "from the -image_list eval set)")
     p.add_argument("-lr", type=float, default=None,
                    help="override PolicyConfig.lr (fine-tune)")
+    p.add_argument("-eval_semantics", default="raw",
+                   choices=["raw", "full"],
+                   help="in-loop -phase train validation scoring: "
+                        "'full' applies the test protocol's repair + "
+                        "pair polish to BOTH sides so best-checkpoint "
+                        "selection optimizes the metric actually "
+                        "reported (the r3c 1e5-px fine-tune selected a "
+                        "net good at raw energies that lost after "
+                        "polish)")
     p.add_argument("-refine_iters", type=int, default=0,
                    help="post-fix refinement: re-free boundary-band "
                         "fixed pixels and run this many extra ADMM "
@@ -155,10 +164,14 @@ def main():
                  for p in all_paths}
         eval_paths = [by_id[str(i)] for i in ids]
     eval_prob = seg.load_problem(eval_paths, num_nodes=args.num_nodes)
+    full_val = args.phase == "test" or (args.phase == "train"
+                                        and args.eval_semantics == "full")
     eval_ds = imitation.build_dataset_qp(
         eval_prob, cfg, record_iters=5 * args.ws,
-        repair_sweeps=args.repair_sweeps if args.phase == "test" else 0,
-        pair_sweeps=args.pair_sweeps if args.phase == "test" else 0)
+        repair_sweeps=args.repair_sweeps if full_val else 0,
+        pair_sweeps=args.pair_sweeps if full_val else 0)
+    val_rep = args.repair_sweeps if full_val else 0
+    val_pair = args.pair_sweeps if full_val else 0
 
     if args.phase == "train":
         train_paths = paths[:n_train]
@@ -177,34 +190,39 @@ def main():
             ts = trainer.init(
                 jax.random.PRNGKey(args.seed),
                 jnp.zeros((2, pcfg.node_size, pcfg.chunk_dim)))
+        def score(ts_):
+            # validation scoring matches -eval_semantics: "full" runs
+            # the test protocol (refine + both-sides polish) so the
+            # kept checkpoint optimizes the metric actually reported
+            state = l2f.l2f_solve(eval_prob, model,
+                                  trainer.variables(ts_), cfg, pcfg,
+                                  ws=args.ws,
+                                  max_iter=args.max_eval_iters)
+            if full_val and args.refine_iters > 0:
+                state = l2f.qp_refine_boundary(
+                    state, eval_prob, cfg, iters=args.refine_iters,
+                    rounds=args.refine_rounds, band=args.refine_band)
+            m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,
+                                   eval_ds.labels.reshape(
+                                       eval_prob.batch, *eval_prob.grid),
+                                   repair_sweeps=val_rep,
+                                   pair_sweeps=val_pair)
+            return (float(np.mean(np.asarray(m["energy_gap"]))),
+                    float(np.asarray(m["n_fixed"]).mean()))
+
         best = None
         if args.init_checkpoint:
             # fine-tune floor: score the starting policy first so the
             # kept "best" can never be worse than what we started from
-            state = l2f.l2f_solve(eval_prob, model,
-                                  trainer.variables(ts), cfg, pcfg,
-                                  ws=args.ws,
-                                  max_iter=args.max_eval_iters)
-            m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,
-                                   eval_ds.labels.reshape(
-                                       eval_prob.batch, *eval_prob.grid))
-            best = float(np.mean(np.asarray(m["energy_gap"])))
-            print(f"init: energy_gap={best:+.4f} "
-                  f"fixed={np.asarray(m['n_fixed']).mean():.0f}px",
+            best, nfix = score(ts)
+            print(f"init: energy_gap={best:+.4f} fixed={nfix:.0f}px",
                   flush=True)
             trainer.save(ts, 0, best=True)
         for epoch in range(args.num_epochs):
             ts, loss = trainer.train_epoch(ts, [train_ds], n_episodes=5)
-            state = l2f.l2f_solve(eval_prob, model,
-                                  trainer.variables(ts), cfg, pcfg,
-                                  ws=args.ws,
-                                  max_iter=args.max_eval_iters)
-            m = l2f.l2f_metrics_qp(state, eval_prob, eval_ds.oracle_obj,
-                                   eval_ds.labels.reshape(
-                                       eval_prob.batch, *eval_prob.grid))
-            gap = float(np.mean(np.asarray(m["energy_gap"])))
+            gap, nfix = score(ts)
             print(f"epoch {epoch}: loss={loss:.5f} energy_gap={gap:+.4f}"
-                  f" fixed={np.asarray(m['n_fixed']).mean():.0f}px")
+                  f" fixed={nfix:.0f}px", flush=True)
             trainer.save(ts, epoch)
             if best is None or gap < best:
                 best = gap

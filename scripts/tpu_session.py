@@ -248,6 +248,28 @@ def _run_phase(phases):
              "--checkpoint",
              "checkpoints_r3/seg_mha_ft1e5/checkpoint/"
              "best_checkpoint.npz"], "seg_ft_eval")
+    if "seg_ft2" in phases:
+        # fine-tune round 2: best-ckpt selection under the FULL test
+        # reporting semantics (refine + both-sides polish) -- the r3c
+        # fine-tune's measured failure mode was selection-signal
+        # mismatch (validation won raw, test lost polished)
+        run("experiments/run_seg.py",
+            ["-phase", "train", "-num_nodes", "100000",
+             "-train_image_list",
+             "0,1,4,5,6,7,8,9,10,12,13,15,18,19,20,22",
+             "-image_list", "26,28,30,31,35,36,37,38",
+             "-init_checkpoint",
+             "checkpoints/seg_mha/checkpoint/best_checkpoint.npz",
+             "-lr", "1e-5", "-num_epochs", "6",
+             "-eval_semantics", "full",
+             "-refine_iters", "10", "-refine_rounds", "2",
+             "-refine_band", "2",
+             "-save_dir", "checkpoints_r3/seg_mha_ft1e5b"], "seg_ft2")
+        run("scripts/eval_seg_1e5.py",
+            ["--variants", "masked+ref10r2b2",
+             "--checkpoint",
+             "checkpoints_r3/seg_mha_ft1e5b/checkpoint/"
+             "best_checkpoint.npz"], "seg_ft2_eval")
     if "seg_portfolio" in phases:
         # per-image best-of over the shipped and 1e5-px fine-tuned
         # sliding policies (equal semantics; selection uses only the
