@@ -395,6 +395,15 @@ def lp_window_stream(state, prob, cfg: SolverConfig, window: int,
     # no-dynamic-indexing workaround for Mosaic) spends more VPU time
     # than the halved G^-1 DMA saves.  Default is the dense einsum.
     if cfg.ginv_apply == "packed-sym":
+        if cfg.ginv_dtype == "bfloat16":
+            # pack_tril upcasts to f32, so the packed read (0.54x
+            # dense-f32 bytes) would be LARGER than the bf16 dense
+            # apply (0.5x) -- the two byte-cut options silently cancel
+            # (ADVICE r3).  Refuse the combination instead.
+            raise ValueError(
+                "ginv_apply='packed-sym' with ginv_dtype='bfloat16' "
+                "reads MORE bytes than the bf16 dense apply (the "
+                "packed layout is f32); pick one byte-cut, not both")
         from . import symm_xla
         if symm_xla.packable(m):
             Gp = symm_xla.pack_tril(

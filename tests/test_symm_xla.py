@@ -50,6 +50,21 @@ def test_stream_packed_sym_matches_dense_apply():
             rtol=5e-4, atol=5e-4, err_msg=name)
 
 
+def test_stream_rejects_packed_sym_bf16_combo():
+    """packed-sym + bf16 G^{-1} silently cancel (pack_tril upcasts to
+    f32, making the packed read LARGER than the bf16 dense apply);
+    lp_window_stream must refuse the combination (ADVICE r3)."""
+    import pytest
+
+    prob = _batch(seed=33)
+    cfg = LP_CONFIG.replace(linsolve="woodbury", ginv_apply="packed-sym",
+                            ginv_dtype="bfloat16")
+    st0 = lp.init_state(prob, cfg)
+    with pytest.raises(ValueError, match="packed-sym"):
+        pallas_stream.lp_window_stream(st0, prob, cfg, 10,
+                                       skip_cvg_at=0, interpret=True)
+
+
 def test_stream_ginv_bf16_short_window_close():
     """bf16 G^{-1} storage plumbing.  The ~4e-3 entry rounding is
     amplified ~100x by the x-update's rhs - E^T u cancellation
