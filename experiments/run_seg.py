@@ -20,7 +20,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:                       # installed package (pip install -e .)
+    import lpbox_admm_tpu  # noqa: F401
+except ImportError:        # source checkout: add the repo root
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
