@@ -24,11 +24,28 @@ in the matvecs.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _mxu_route() -> bool:
+    """Route matvecs through the MXU one-hot kernels (ops/mxu_sparse)?
+
+    Default: yes on every non-CPU backend (the XLA TPU gather lowering
+    serializes at ~40 cycles/element; the one-hot matmul form runs at
+    MXU rate -- see ops/mxu_sparse.py).  On CPU the direct gather wins.
+    Override with LPBOX_SPARSE=gather|mxu for A/B measurements.
+    """
+    forced = os.environ.get("LPBOX_SPARSE")
+    if forced == "gather":
+        return False
+    if forced == "mxu":
+        return True
+    return jax.default_backend() != "cpu"
 
 
 class SparseEll(NamedTuple):
@@ -66,17 +83,29 @@ def _gather_rows(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def mv(S: SparseEll, v: jnp.ndarray) -> jnp.ndarray:
-    """M @ v: (B, n) -> (B, m).  One gather + one reduction."""
+    """M @ v: (B, n) -> (B, m).
+
+    CPU: one gather + one reduction.  TPU: MXU one-hot scatter
+    (ops/mxu_sparse.mv) -- the direct gather serializes there."""
     if S.m == 0 or S.n == 0:     # zero-row/col block (absent constraints)
         return jnp.zeros((v.shape[0], S.m), jnp.float32)
+    if _mxu_route():
+        from . import mxu_sparse
+        return mxu_sparse.mv(S, v)
     g = _gather_rows(v.astype(jnp.float32), S.row_idx)
     return jnp.sum(S.row_val * g, axis=-1)
 
 
 def mtv(S: SparseEll, w: jnp.ndarray) -> jnp.ndarray:
-    """M^T @ w: (B, m) -> (B, n).  Gather via the column layout."""
+    """M^T @ w: (B, m) -> (B, n).
+
+    CPU: gather via the column layout.  TPU: MXU one-hot gather
+    (ops/mxu_sparse.mtv)."""
     if S.m == 0 or S.n == 0:
         return jnp.zeros((w.shape[0], S.n), jnp.float32)
+    if _mxu_route():
+        from . import mxu_sparse
+        return mxu_sparse.mtv(S, w)
     g = _gather_rows(w.astype(jnp.float32), S.col_idx)
     return jnp.sum(S.col_val * g, axis=-1)
 
