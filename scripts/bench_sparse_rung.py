@@ -136,6 +136,46 @@ def main():
     insts = get_instances(n_items, n_bids, args.batch)
     t0 = time.time()
     gram = ginv = None
+
+    def inst_csr(Ci, m):
+        import scipy.sparse as sp
+        if isinstance(Ci, tuple):
+            r, c, v, shape = Ci
+            return sp.csr_matrix(
+                (np.asarray(v, np.float64), (r, c)), shape=tuple(shape))
+        return sp.csr_matrix(np.asarray(Ci, np.float64))
+
+    def host_gram_ginv(m):
+        """Host-side sparse Gram (O(nnz K)) and, with --host-ginv, the
+        f64 LAPACK Woodbury inverse (the remote XLA compiler fails on
+        the m~2e4 cholesky program).  Shared by the dense and ELL
+        paths."""
+        gram = np.zeros((len(insts), m, m), np.float32)
+        for i, (_, Ci) in enumerate(insts):
+            C = inst_csr(Ci, m)
+            mi = C.shape[0]
+            gram[i, :mi, :mi] = (C @ C.T).toarray()
+        print(f"host gram ({len(insts)},{m},{m}) built "
+              f"{time.time()-t0:.1f}s", flush=True)
+        if not args.host_ginv:
+            return gram, None
+        gc = os.path.join(CACHE, f"host_ginv_{n_items}_"
+                                 f"{n_bids}_{args.batch}.npy")
+        if os.path.exists(gc):
+            return None, np.load(gc)
+        from scipy.linalg import cho_factor, cho_solve
+        ratio = 2.0   # (rho1+rho2)/rho4, LP preset
+        ginv = np.empty_like(gram)
+        for i in range(len(insts)):
+            Gs = gram[i].astype(np.float64) \
+                + ratio * np.eye(m, dtype=np.float64)
+            ginv[i] = cho_solve(
+                cho_factor(Gs, lower=True),
+                np.eye(m, dtype=np.float64)).astype(np.float32)
+        np.save(gc, ginv)
+        print(f"host ginv built {time.time()-t0:.1f}s", flush=True)
+        return None, ginv
+
     if args.dense:
         edt = jnp.bfloat16 if args.e_dtype == "bf16" else jnp.float32
         if isinstance(insts[0][1], tuple):
@@ -153,45 +193,11 @@ def main():
             else "float32")
         if isinstance(insts[0][1], tuple) and args.linsolve == "woodbury":
             # host-side sparse Gram (O(nnz K), < 1 s) -- the on-device
-            # einsum is O(m^2 n) (~10 min of MXU at the mega rung)
-            import scipy.sparse as sp
-            m = prob.m
-            gram = np.zeros((len(insts), m, m), np.float32)
-            for i, (_, (r, c, v, shape)) in enumerate(insts):
-                C = sp.csr_matrix((np.asarray(v, np.float64), (r, c)),
-                                  shape=tuple(shape))
-                mi = shape[0]
-                gram[i, :mi, :mi] = (C @ C.T).toarray()
-            print(f"host gram ({len(insts)},{m},{m}) built "
-                  f"{time.time()-t0:.1f}s", flush=True)
-            if args.host_ginv:
-                # the remote XLA compiler has failed on the m~2e4
-                # cholesky/cho_solve program; LAPACK it on the host
-                # (padded rows: G row/col zero, shift makes them
-                # ratio*I -> inverse 1/ratio there, harmless since E's
-                # padded rows are zero).  Cached: ~9 min at m~2e4.
-                gc = os.path.join(CACHE, f"host_ginv_{n_items}_"
-                                         f"{n_bids}_{args.batch}.npy")
-                if os.path.exists(gc):
-                    ginv = np.load(gc)
-                else:
-                    from scipy.linalg import cho_factor, cho_solve
-                    ratio = 2.0   # (rho1+rho2)/rho4, LP preset
-                    ginv = np.empty_like(gram)
-                    for i in range(len(insts)):
-                        # f64 factorization (the f32 one was cleared
-                        # by the residual probe, but f64 costs the
-                        # same here and removes the question)
-                        Gs = gram[i].astype(np.float64) \
-                            + ratio * np.eye(m, dtype=np.float64)
-                        ginv[i] = cho_solve(
-                            cho_factor(Gs, lower=True),
-                            np.eye(m, dtype=np.float64)
-                        ).astype(np.float32)
-                    np.save(gc, ginv)
-                gram = None
-                print(f"host ginv built {time.time()-t0:.1f}s",
-                      flush=True)
+            # einsum is O(m^2 n) (~10 min of MXU at the mega rung).
+            # Padded rows: G row/col zero, shift makes them ratio*I ->
+            # inverse 1/ratio there, harmless since E's padded rows
+            # are zero.  host ginv cached: ~9 min at m~2e4.
+            gram, ginv = host_gram_ginv(prob.m)
     else:
         prob = ca.make_sparse_problem(insts)
         E = prob.E
@@ -199,6 +205,12 @@ def main():
               f"Kc={E.col_idx.shape[-1]} built {time.time()-t0:.1f}s",
               flush=True)
         cfg = LP_CONFIG.replace(linsolve=args.linsolve)
+        if args.linsolve == "woodbury" \
+                and (args.host_ginv or isinstance(insts[0][1], tuple)):
+            # the ELL mega path needs the same host Gram/inverse as
+            # the dense one (the on-device sparse gram is a serialized
+            # scatter; the remote compiler fails on the big cholesky)
+            gram, ginv = host_gram_ginv(E.m)
 
     if args.probe:
         # fixed-iteration cost, immune to early-exit luck

@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--rung", default="1000x10000")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--loops", type=int, default=100)
+    ap.add_argument("--skip-gather", action="store_true",
+                    help="skip the serialized-gather baseline (minutes "
+                         "at the mega rung)")
+    ap.add_argument("--chunks", default="2048,4096,8192,16384",
+                    help="mxu_sparse chunk sizes to sweep")
     args = ap.parse_args()
     n_items, n_bids = map(int, args.rung.split("x"))
 
@@ -89,18 +94,45 @@ def main():
           f"Kc={S.col_idx.shape[-1]}", flush=True)
 
     # --- sparse gather round trip: x <- normalize(mtv(mv(x))) --------
-    @jax.jit
-    def sp_chain(x):
-        def body(_, x):
-            y = sparse_ops.mv(S, x)
-            x = sparse_ops.mtv(S, y)
-            return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-        return jax.lax.fori_loop(0, L, body, x)
-
     x0 = jnp.ones((B, n), jnp.float32)
-    t = timed(sp_chain, x0)
-    print(f"sparse mv+mtv: {1e3 * t / L:.2f} ms/pair "
-          f"({B * L / t:.0f} inst-pairs/s)", flush=True)
+    if not args.skip_gather:
+        os.environ["LPBOX_SPARSE"] = "gather"   # read at trace time
+
+        @jax.jit
+        def sp_chain(x):
+            def body(_, x):
+                y = sparse_ops.mv(S, x)
+                x = sparse_ops.mtv(S, y)
+                return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            return jax.lax.fori_loop(0, L, body, x)
+
+        t = timed(sp_chain, x0)
+        print(f"sparse gather mv+mtv: {1e3 * t / L:.2f} ms/pair "
+              f"({B * L / t:.0f} inst-pairs/s)", flush=True)
+        os.environ.pop("LPBOX_SPARSE", None)
+
+    # --- MXU one-hot route (ops/mxu_sparse), chunk sweep ---------------
+    from lpbox_admm_tpu.ops import mxu_sparse
+    for chunk in map(int, args.chunks.split(",")):
+        @jax.jit
+        def mxu_chain(x, _c=chunk):
+            def body(_, x):
+                y = mxu_sparse.mv(S, x, chunk=_c)
+                x = mxu_sparse.mtv(S, y, chunk=_c)
+                return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            return jax.lax.fori_loop(0, L, body, x)
+
+        try:
+            t = timed(mxu_chain, x0)
+        except Exception as e:
+            print(f"mxu mv+mtv chunk={chunk}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+            continue
+        macs = 2 * B * S.col_idx.shape[1] * S.col_idx.shape[2] \
+            * ((m + 127) // 128 * 128)
+        print(f"mxu mv+mtv chunk={chunk}: {1e3 * t / L:.2f} ms/pair "
+              f"({B * L / t:.0f} inst-pairs/s, "
+              f"~{macs * L / t / 1e12:.1f} TMAC/s)", flush=True)
 
     # --- dense bf16 E passes on the same instances --------------------
     if not isinstance(insts[0][1], tuple):
