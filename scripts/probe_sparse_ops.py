@@ -157,6 +157,14 @@ def main():
               f"(~{gb * L / t:.0f} GB/s)", flush=True)
 
     # --- Woodbury G^-1 apply ------------------------------------------
+    if m > 8192:
+        # the remote XLA compiler fails on the m~2e4 cholesky program
+        # and the on-device sparse gram is a serialized scatter; the
+        # mega-shape end-to-end numbers come from bench_sparse_rung
+        # --probe --host-ginv instead
+        print("skipping on-device factorize/full-step sections "
+              f"(m={m} > 8192)", flush=True)
+        return
     from lpbox_admm_tpu.ops import woodbury
     factor = woodbury.factorize(S, jnp.ones((B, n), bool), 2.0)
     ginv = factor.ginv              # argument, not capture (413 hazard)

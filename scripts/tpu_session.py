@@ -280,6 +280,31 @@ def _run_phase(phases):
              "checkpoints/seg_mha/checkpoint/best_checkpoint.npz,"
              "checkpoints_r3/seg_mha_ft1e5/checkpoint/"
              "best_checkpoint.npz"], "seg_portfolio")
+    # ---- round-4 phases ---------------------------------------------
+    if "mxu_probe" in phases:
+        # gather-vs-MXU component A/B + chunk sweep at the 10k rung
+        run("scripts/probe_sparse_ops.py",
+            ["--rung", "1000x10000", "--batch", "8"], "mxu_probe_10k")
+    if "mxu_probe_mega" in phases:
+        run("scripts/probe_sparse_ops.py",
+            ["--rung", "1000x100000", "--batch", "1", "--skip-gather"],
+            "mxu_probe_mega")
+    if "sparse_rung_mxu" in phases:
+        # end-to-end ELL solve through the MXU route (r3 gather
+        # baseline: 0.004 inst/s; dense-bf16 stream: 0.12 inst/s)
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8"],
+            "sparse_rung_mxu_10k")
+    if "sparse_mega_mxu" in phases:
+        # (1000, 1e5): ELL + host LAPACK ginv, fixed-iteration probe
+        # then full solve at the dense run's operating point (f32-E
+        # dense measured 561 s = 1.41x CPU wall; cap 20000)
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--probe",
+             "--host-ginv"], "sparse_mega_mxu_probe")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--host-ginv",
+             "--cap", "20000", "--no-oracle"], "sparse_mega_mxu")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")
