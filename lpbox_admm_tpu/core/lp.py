@@ -235,22 +235,21 @@ def _emv(spec: str, M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     nothing) -- at negligible extra traffic (v is (n,) vs M (m,n)).
     f32 storage keeps the exact highest-precision path.
 
-    ``M`` may also be a SparseEll (ops/sparse.py) -- the gather-based
-    O(nnz) path for the very large LP rungs whose dense E exceeds HBM
-    (the reference's Eigen-sparse regime, instance table at
-    cython_solver/LPboxADMMsolver.cpp:2461-2486); stacked specs fall
-    back to one gather per stacked vector."""
+    ``M`` may also be a SparseEll (ops/sparse.py) -- the O(nnz) path
+    for the very large LP rungs whose dense E exceeds HBM (the
+    reference's Eigen-sparse regime, instance table at
+    cython_solver/LPboxADMMsolver.cpp:2461-2486): CPU backends gather,
+    TPU routes through the MXU one-hot matmuls (ops/mxu_sparse), where
+    stacked specs share one one-hot pass across the k vectors."""
     if sparse_ops.is_sparse(M):
         if spec == "bmn,bn->bm":
             return sparse_ops.mv(M, v)
         if spec == "bmn,bm->bn":
             return sparse_ops.mtv(M, v)
         if spec == "bmn,bkn->bkm":
-            return jnp.stack([sparse_ops.mv(M, v[:, k])
-                              for k in range(v.shape[1])], axis=1)
+            return sparse_ops.mv_many(M, v)
         if spec == "bmn,bkm->bkn":
-            return jnp.stack([sparse_ops.mtv(M, v[:, k])
-                              for k in range(v.shape[1])], axis=1)
+            return sparse_ops.mtv_many(M, v)
         raise ValueError(f"unsupported sparse einsum spec {spec!r}")
     if M.dtype == jnp.bfloat16:
         v32 = v.astype(jnp.float32)

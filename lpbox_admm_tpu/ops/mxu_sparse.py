@@ -11,38 +11,36 @@ to (2000 items, 1e6 bids) at :2461-2486); the TPU-native equivalent
 here re-casts both sparse matvec directions as small dense matmuls the
 MXU executes at full rate:
 
-* the target vector ``u`` (length m, the constraint-row axis) is tiny --
-  it is reshaped to ``(M1, 128)`` tiles that live in VMEM;
-* each nonzero's row index ``i`` is split as ``i = hi*128 + lo``;
-* **gather** (``E^T u``): ``onehot(hi) @ u2`` selects each nonzero's
-  128-row on the MXU, then a VPU one-hot select picks lane ``lo`` --
-  exactly ``u[i]``, f32-exact because a one-hot dot has a single
-  nonzero term;
+* the m-side vector lives in ``(M1, 128)`` lane tiles;
+* each nonzero's row index ``i`` splits as ``i = hi*W + lo``;
+* **gather** (``E^T u``): ``onehot(hi) @ u-tiles`` selects each
+  nonzero's tile row on the MXU, then a VPU one-hot select picks lane
+  ``lo`` -- exactly ``u[i]`` (a one-hot dot has a single nonzero term);
 * **scatter** (``E v``): the transposed contraction
   ``onehot(hi)^T @ (onehot(lo) * w)`` accumulates every nonzero's
-  contribution ``w`` into tile ``(hi, lo)`` -- duplicate indices sum
-  inside the f32 MXU accumulator, no serialized scatter anywhere.
+  contribution into tile ``(hi, lo)`` -- duplicate indices sum inside
+  the f32 MXU accumulator, no serialized scatter anywhere.
 
-The one-hot operands are generated on the fly from the integer indices
-(broadcasted_iota + compare); the only HBM-resident inputs are the
-``(B, n, K)`` index/value arrays, O(nnz) instead of the dense O(m n).
-Per-pass arithmetic is ``nnz * m`` MACs -- at the mega rung
-((1000,1e5): nnz ~ 5e5, m ~ 2e4) that is ~1e10 MACs ~ a fraction of a
-millisecond on the MXU, vs ~10 ms of HBM streaming for the 8 GB dense
-E it replaces.
+One-hots are generated on the fly from the integer indices
+(broadcasted_iota + compare) in bfloat16 (0/1 is bf16-exact, half the
+materialized dot-operand traffic of f32 -- the r4a probe measured the
+one-hot HBM traffic, not the MACs, as the bound).  The m-side payload
+is carried as THREE bf16 limbs contracted in the same dot (f32
+accumulation), the same f32-equivalence construction as the dense bf16
+path (core/lp._emv): one limb's 4e-3 rounding enters the dual ascent
+scaled by rho and diverges; three limbs give ~24 mantissa bits.
 
-Both directions consume only the COLUMN layout of ``SparseEll`` (the
-nonzeros grouped by variable): the gather's output axis (n) and the
-scatter's input axis (n) are then both slot-aligned with the variable
-vector, so neither direction needs a second permutation.  Everything is
-plain XLA (dot_general + iota); no Pallas required -- chunked over the
-nonzero axis with ``lax.scan`` to bound the materialized one-hot at a
-few MB.
+``mv_many``/``mtv_many`` take a (B, k, .) STACK of vectors and share
+one one-hot materialization across the stack -- the solver iteration's
+stacked ``_emv`` calls (rhs+x0 forward pass, dual+lookahead transpose
+pass) cost one index pass instead of k.
 
-Precision: dots run ``precision=HIGHEST`` on f32 operands.  A one-hot
-GATHER row has one nonzero product, so the result is bit-exact u[i];
-the SCATTER accumulates duplicates in f32, matching the gather-layout
-reduction up to summation order (tested to tight tolerance).
+The scatter's lane one-hot ``Z = onehot(lo) * w`` materializes
+(T, k*3*W) per chunk, so its traffic scales with the lo-width ``W``;
+``W=128`` is right for large m (hi-matrix small), small-m blocks (the
+CA item block, m1 ~ 1024) pass ``W=16`` to shrink Z ~5x while the
+hi-matrix stays tiny.  Chunked ``lax.scan`` over the nonzero axis
+bounds all temporaries at a few MB.
 """
 
 from __future__ import annotations
@@ -56,51 +54,64 @@ import numpy as np
 
 from . import sparse as sparse_ops
 
-_HIGHEST = jax.lax.Precision.HIGHEST
-
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _flat_chunks(S: sparse_ops.SparseEll, chunk: int
+def _limbs3(x: jnp.ndarray) -> jnp.ndarray:
+    """Split f32 ``x`` into 3 bf16 limbs stacked on a NEW last axis:
+    x ~ l0 + l1 + l2 to ~24 mantissa bits (f32-equivalent)."""
+    x = x.astype(jnp.float32)
+    l0 = x.astype(jnp.bfloat16)
+    r = x - l0.astype(jnp.float32)
+    l1 = r.astype(jnp.bfloat16)
+    l2 = (r - l1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([l0, l1, l2], axis=-1)
+
+
+def _flat_chunks(idx: jnp.ndarray, payload: jnp.ndarray, chunk: int
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, int, int]:
-    """Flatten the column layout's (B, n, Kc) nnz arrays to padded
-    (NC, B, T) chunks (idx, val); returns (idx_c, val_c, NC, T)."""
-    B, n, Kc = S.col_idx.shape
+    """Flatten (B, n, Kc[, ...]) nnz arrays to padded (NC, B, T[, ...])
+    chunks; pad slots are idx 0 / payload 0 (contribute exact zeros)."""
+    B, n, Kc = idx.shape
     L = n * Kc
     T = min(chunk, max(128, L))
     NC = _cdiv(L, T)
     pad = NC * T - L
-    idx = S.col_idx.reshape(B, L)
-    val = S.col_val.reshape(B, L)
+    tail = payload.shape[3:]
+    idx = idx.reshape(B, L)
+    payload = payload.reshape((B, L) + tail)
     if pad:
-        # pad slots: idx 0 / val 0 -- they contribute exact zeros
         idx = jnp.pad(idx, ((0, 0), (0, pad)))
-        val = jnp.pad(val, ((0, 0), (0, pad)))
+        payload = jnp.pad(payload,
+                          ((0, 0), (0, pad)) + ((0, 0),) * len(tail))
     idx_c = idx.reshape(B, NC, T).transpose(1, 0, 2)
-    val_c = val.reshape(B, NC, T).transpose(1, 0, 2)
-    return idx_c, val_c, NC, T
-
-
-def _u_tiles(w: jnp.ndarray, m: int) -> Tuple[jnp.ndarray, int]:
-    """Pad the m-vector batch (B, m) to (B, M1, 128) lane tiles."""
-    B = w.shape[0]
-    M1 = _cdiv(m, 128)
-    pad = M1 * 128 - m
-    if pad:
-        w = jnp.pad(w, ((0, 0), (0, pad)))
-    return w.reshape(B, M1, 128), M1
+    payload_c = payload.reshape((B, NC, T) + tail)
+    payload_c = jnp.moveaxis(payload_c, 1, 0)
+    return idx_c, payload_c, NC, T
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def mtv(S: sparse_ops.SparseEll, w: jnp.ndarray,
-        chunk: int = 4096) -> jnp.ndarray:
-    """``M^T @ w``: (B, m) -> (B, n) via MXU one-hot gather."""
+def mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
+             chunk: int = 8192) -> jnp.ndarray:
+    """``M^T @ w`` for a stack: (B, k, m) -> (B, k, n).
+
+    One shared bf16 one-hot per chunk gathers all k vectors' 3 limbs in
+    a single MXU dot (lane axis = k*3*128)."""
     B, n, Kc = S.col_idx.shape
-    u2, M1 = _u_tiles(w.astype(jnp.float32), S.m)
-    idx_c, val_c, NC, T = _flat_chunks(S, chunk)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    k = Wk.shape[1]
+    m = S.m
+    M1 = _cdiv(m, 128)
+    pad = M1 * 128 - m
+    Wp = Wk.astype(jnp.float32)
+    if pad:
+        Wp = jnp.pad(Wp, ((0, 0), (0, 0), (0, pad)))
+    # (B, k, M1*128) -> limbs (B, k, M1, 128, 3) -> (B, M1, k*3*128)
+    U = _limbs3(Wp.reshape(B, k, M1, 128))
+    U = U.transpose(0, 2, 1, 4, 3).reshape(B, M1, k * 3 * 128)
+    idx_c, val_c, NC, T = _flat_chunks(S.col_idx, S.col_val, chunk)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 128), 4)
 
     def step(_, args):
         idx, val = args                                    # (B, T)
@@ -108,47 +119,72 @@ def mtv(S: sparse_ops.SparseEll, w: jnp.ndarray,
         lo = idx % 128
         oh = (hi[:, :, None]
               == jax.lax.broadcasted_iota(jnp.int32, (1, 1, M1), 2)
-              ).astype(jnp.float32)                        # (B, T, M1)
-        rowsel = jax.lax.dot_general(
-            oh, u2, (((2,), (1,)), ((0,), (0,))),
-            precision=_HIGHEST)                            # (B, T, 128)
-        g = jnp.sum(jnp.where(lo[:, :, None] == lanes, rowsel, 0.0),
-                    axis=-1)                               # (B, T)
-        return None, val * g
+              ).astype(jnp.bfloat16)                       # (B, T, M1)
+        R = jax.lax.dot_general(
+            oh, U, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (B,T,k*3*128)
+        R = R.reshape(B, T, k, 3, 128)
+        g = jnp.sum(jnp.where(lo[:, :, None, None, None] == lanes,
+                              R, 0.0), axis=(3, 4))        # (B, T, k)
+        return None, val[:, :, None] * g
 
-    _, parts = jax.lax.scan(step, None, (idx_c, val_c))    # (NC, B, T)
-    flat = parts.transpose(1, 0, 2).reshape(B, NC * T)[:, : n * Kc]
-    return jnp.sum(flat.reshape(B, n, Kc), axis=-1)
+    _, parts = jax.lax.scan(step, None, (idx_c, val_c))    # (NC,B,T,k)
+    flat = parts.transpose(1, 0, 2, 3).reshape(B, NC * T, k)
+    flat = flat[:, : n * Kc]
+    return jnp.sum(flat.reshape(B, n, Kc, k), axis=2).transpose(0, 2, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def mv(S: sparse_ops.SparseEll, v: jnp.ndarray,
-       chunk: int = 4096) -> jnp.ndarray:
-    """``M @ v``: (B, n) -> (B, m) via MXU one-hot scatter-accumulate."""
+@functools.partial(jax.jit, static_argnames=("chunk", "lo_width"))
+def mv_many(S: sparse_ops.SparseEll, Vk: jnp.ndarray,
+            chunk: int = 8192, lo_width: int = 128) -> jnp.ndarray:
+    """``M @ v`` for a stack: (B, k, n) -> (B, k, m).
+
+    Scatter-accumulate via ``onehot(hi)^T @ (onehot(lo) * w_limbs)``;
+    ``lo_width`` trades hi-matrix size against the Z payload width
+    (pass a small power of two when m is small)."""
     B, n, Kc = S.col_idx.shape
+    k = Vk.shape[1]
     m = S.m
-    M1 = _cdiv(m, 128)
-    # per-nnz contribution w = val * v[col]; the column layout is
-    # slot-aligned with v, so this is a broadcast, not a gather
-    Sw = S._replace(col_val=S.col_val
-                    * v.astype(jnp.float32)[:, :, None])
-    idx_c, val_c, NC, T = _flat_chunks(Sw, chunk)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    W = lo_width
+    assert 128 % W == 0 or W % 128 == 0
+    H = _cdiv(m, W)                     # hi space
+    # per-slot payload w = val * v[col] -- slot-aligned broadcast
+    wk = S.col_val[:, None, :, :] * Vk.astype(jnp.float32)[:, :, :, None]
+    wl = _limbs3(wk)                    # (B, k, n, Kc, 3)
+    wl = wl.transpose(0, 2, 3, 1, 4)    # (B, n, Kc, k, 3)
+    idx_c, w_c, NC, T = _flat_chunks(
+        S.col_idx, wl.reshape(B, n, Kc, k * 3), chunk)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W), 3)
 
     def step(acc, args):
-        idx, w = args                                      # (B, T)
-        hi = idx // 128
-        lo = idx % 128
+        idx, w = args                   # (B, T), (B, T, k*3)
+        hi = idx // W
+        lo = idx % W
         oh_hi = (hi[:, :, None]
-                 == jax.lax.broadcasted_iota(jnp.int32, (1, 1, M1), 2)
-                 ).astype(jnp.float32)                     # (B, T, M1)
-        oh_lo = jnp.where(lo[:, :, None] == lanes,
-                          w[:, :, None], 0.0)              # (B, T, 128)
+                 == jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
+                 ).astype(jnp.bfloat16)                    # (B, T, H)
+        Z = jnp.where(lo[:, :, None, None] == lanes,
+                      w[:, :, :, None], 0.0)               # (B,T,k3,W)
+        Z = Z.astype(jnp.bfloat16).reshape(B, T, k * 3 * W)
         contrib = jax.lax.dot_general(
-            oh_hi, oh_lo, (((1,), (1,)), ((0,), (0,))),
-            precision=_HIGHEST)                            # (B, M1, 128)
+            oh_hi, Z, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (B,H,k*3*W)
         return acc + contrib, None
 
-    acc0 = jnp.zeros((B, M1, 128), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (idx_c, val_c))
-    return acc.reshape(B, M1 * 128)[:, :m]
+    acc0 = jnp.zeros((B, H, k * 3 * W), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (idx_c, w_c))
+    acc = acc.reshape(B, H, k, 3, W).sum(3)                # limb sum
+    out = acc.transpose(0, 2, 1, 3).reshape(B, k, H * W)
+    return out[:, :, :m]
+
+
+def mtv(S: sparse_ops.SparseEll, w: jnp.ndarray,
+        chunk: int = 8192) -> jnp.ndarray:
+    """``M^T @ w``: (B, m) -> (B, n)."""
+    return mtv_many(S, w[:, None], chunk=chunk)[:, 0]
+
+
+def mv(S: sparse_ops.SparseEll, v: jnp.ndarray,
+       chunk: int = 8192, lo_width: int = 128) -> jnp.ndarray:
+    """``M @ v``: (B, n) -> (B, m)."""
+    return mv_many(S, v[:, None], chunk=chunk, lo_width=lo_width)[:, 0]

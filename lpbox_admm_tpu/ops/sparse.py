@@ -110,6 +110,29 @@ def mtv(S: SparseEll, w: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(S.col_val * g, axis=-1)
 
 
+def mv_many(S: SparseEll, Vk: jnp.ndarray) -> jnp.ndarray:
+    """Stacked ``M @ v``: (B, k, n) -> (B, k, m).  On the MXU route the
+    k vectors share one one-hot materialization per chunk."""
+    if S.m == 0 or S.n == 0:
+        return jnp.zeros(Vk.shape[:2] + (S.m,), jnp.float32)
+    if _mxu_route():
+        from . import mxu_sparse
+        return mxu_sparse.mv_many(S, Vk)
+    return jnp.stack([mv(S, Vk[:, k]) for k in range(Vk.shape[1])],
+                     axis=1)
+
+
+def mtv_many(S: SparseEll, Wk: jnp.ndarray) -> jnp.ndarray:
+    """Stacked ``M^T @ w``: (B, k, m) -> (B, k, n)."""
+    if S.m == 0 or S.n == 0:
+        return jnp.zeros(Wk.shape[:2] + (S.n,), jnp.float32)
+    if _mxu_route():
+        from . import mxu_sparse
+        return mxu_sparse.mtv_many(S, Wk)
+    return jnp.stack([mtv(S, Wk[:, k]) for k in range(Wk.shape[1])],
+                     axis=1)
+
+
 def colsq(S: SparseEll) -> jnp.ndarray:
     """Per-column squared norms diag(M^T M) -> (B, n)."""
     return jnp.sum(S.col_val * S.col_val, axis=-1)

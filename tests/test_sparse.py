@@ -305,10 +305,13 @@ def test_mxu_matvecs_match_gather_and_dense():
 
 
 def test_mxu_gather_is_exact():
-    """A one-hot gather dot has a single nonzero term: mtv must
-    reproduce u[idx] BIT-exactly (precision=HIGHEST f32) -- the solver
-    trajectories are chaotic, so a consistently perturbed operator
-    converges somewhere else (the bf16-G^-1 lesson, STATUS r3)."""
+    """A one-hot gather dot has a single nonzero term per limb, and the
+    3 bf16 limbs reconstruct f32 to ~24 mantissa bits: mtv must
+    reproduce u[idx] to f32-equivalence (sub-ulp-scale error only) --
+    the solver trajectories are chaotic, so a consistently perturbed
+    operator converges somewhere else (the bf16-G^-1 lesson, STATUS
+    r3); the limb construction is the same one core/lp._emv uses for
+    the dense bf16 path."""
     from lpbox_admm_tpu.ops import mxu_sparse
     rng = np.random.RandomState(6)
     B, m, n = 2, 300, 150
@@ -324,7 +327,33 @@ def test_mxu_gather_is_exact():
     w = (rng.randn(B, m) * 1e3).astype(np.float32)
     got = np.asarray(mxu_sparse.mtv(S, jnp.asarray(w), chunk=64))
     want = np.stack([w[b][idxs[b]] for b in range(B)])
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(got, want, rtol=3e-7, atol=0)
+
+
+def test_mxu_many_and_lo_width():
+    """Stacked mv_many/mtv_many (shared one-hot) and the small-m
+    lo_width scatter variant agree with per-vector results."""
+    from lpbox_admm_tpu.ops import mxu_sparse
+    rng = np.random.RandomState(9)
+    B, m, n, k = 2, 200, 260, 3
+    coos = [_random_coo(rng, m, n, 0.08) for _ in range(B)]
+    D = np.stack([_dense_of(c, m, n) for c in coos])
+    S = sparse.from_coo(coos, (m, n))
+    V = rng.randn(B, k, n).astype(np.float32)
+    W = rng.randn(B, k, m).astype(np.float32)
+    want_mv = np.einsum("bmn,bkn->bkm", D, V)
+    want_mtv = np.einsum("bmn,bkm->bkn", D, W)
+    np.testing.assert_allclose(
+        np.asarray(mxu_sparse.mv_many(S, jnp.asarray(V), chunk=512)),
+        want_mv, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mxu_sparse.mtv_many(S, jnp.asarray(W), chunk=512)),
+        want_mtv, rtol=1e-5, atol=1e-5)
+    for lw in (16, 32):
+        np.testing.assert_allclose(
+            np.asarray(mxu_sparse.mv_many(S, jnp.asarray(V), chunk=512,
+                                          lo_width=lw)),
+            want_mv, rtol=1e-5, atol=1e-5)
 
 
 def test_sparse_route_env_override(monkeypatch):
