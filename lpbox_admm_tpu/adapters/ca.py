@@ -321,6 +321,61 @@ def make_sparse_problem(
                      var_mask=jnp.asarray(vmask))
 
 
+def make_struct_problem(
+    instances: Sequence[Tuple[np.ndarray, np.ndarray]],
+    n_pad: Optional[int] = None,
+    align: int = 128,
+    width_cap: int = 12,
+) -> Tuple[LpProblem, list]:
+    """Batch CA instances with E as the structure-aware ``CaStructE``
+    (ops/ca_sparse): item rows as a width-capped small-m ELL block,
+    dummy (XOR) rows as sorted column intervals -- the TPU-fast form of
+    the reference's very-large sparse rungs, whose m is dominated by
+    dummy rows (cython_solver/LPboxADMMsolver.cpp:2461-2486;
+    generate_instances.py:294-303 adds the dummies).
+
+    Returns ``(problem, row_maps)``: the struct m-axis is
+    ``[item rows | dummy rows]`` per instance (each block padded), and
+    ``row_maps[i]`` maps original row -> struct row; use it to embed
+    any host-side Gram/inverse in the same layout.
+    """
+    from ..core.problem import round_up
+    from ..ops import ca_sparse
+
+    def inst_coo(Ci):
+        if isinstance(Ci, tuple):
+            rows, cols, vals, shape = Ci
+            return (np.asarray(rows, np.int64), np.asarray(cols, np.int64),
+                    np.asarray(vals, np.float32)), tuple(shape)
+        Ci = np.asarray(Ci)
+        rows, cols = np.nonzero(Ci)
+        return (rows, cols, Ci[rows, cols].astype(np.float32)), Ci.shape
+
+    bs = [-np.asarray(p, dtype=np.float64) for p, _ in instances]
+    packed = [inst_coo(C) for _, C in instances]
+    coos = [c for c, _ in packed]
+    shapes = [s for _, s in packed]
+    ns = [b.shape[0] for b in bs]
+    n = n_pad or round_up(max(ns), align)
+    B = len(instances)
+    E, row_maps = ca_sparse.build(coos, shapes, n, width_cap=width_cap,
+                                  align=align)
+    m = E.m
+    b_arr = np.zeros((B, n), np.float32)
+    rmask = np.zeros((B, m), bool)
+    vmask = np.zeros((B, n), bool)
+    for i, bi in enumerate(bs):
+        b_arr[i, : ns[i]] = bi
+        rmask[i, row_maps[i]] = True
+        vmask[i, : ns[i]] = True
+    import jax.numpy as jnp
+    prob = LpProblem(b=jnp.asarray(b_arr), E=E,
+                     f=jnp.ones((B, m), jnp.float32),
+                     row_mask=jnp.asarray(rmask),
+                     var_mask=jnp.asarray(vmask))
+    return prob, row_maps
+
+
 def make_dense_bf16_problem(
     instances: Sequence[Tuple[np.ndarray, np.ndarray]],
     n_pad: Optional[int] = None,

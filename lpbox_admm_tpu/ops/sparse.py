@@ -74,7 +74,11 @@ class SparseEll(NamedTuple):
 
 
 def is_sparse(M) -> bool:
-    return isinstance(M, SparseEll)
+    """SparseEll, or any structured type carrying the
+    ``is_sparse_matrix`` marker + mv/mtv(+many)/colsq methods
+    (ops/ca_sparse.CaStructE)."""
+    return isinstance(M, SparseEll) \
+        or getattr(M, "is_sparse_matrix", False)
 
 
 def _gather_rows(v: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -87,6 +91,8 @@ def mv(S: SparseEll, v: jnp.ndarray) -> jnp.ndarray:
 
     CPU: one gather + one reduction.  TPU: MXU one-hot scatter
     (ops/mxu_sparse.mv) -- the direct gather serializes there."""
+    if not isinstance(S, SparseEll):
+        return S.mv(v)
     if S.m == 0 or S.n == 0:     # zero-row/col block (absent constraints)
         return jnp.zeros((v.shape[0], S.m), jnp.float32)
     if _mxu_route():
@@ -101,6 +107,8 @@ def mtv(S: SparseEll, w: jnp.ndarray) -> jnp.ndarray:
 
     CPU: gather via the column layout.  TPU: MXU one-hot gather
     (ops/mxu_sparse.mtv)."""
+    if not isinstance(S, SparseEll):
+        return S.mtv(w)
     if S.m == 0 or S.n == 0:
         return jnp.zeros((w.shape[0], S.n), jnp.float32)
     if _mxu_route():
@@ -113,6 +121,8 @@ def mtv(S: SparseEll, w: jnp.ndarray) -> jnp.ndarray:
 def mv_many(S: SparseEll, Vk: jnp.ndarray) -> jnp.ndarray:
     """Stacked ``M @ v``: (B, k, n) -> (B, k, m).  On the MXU route the
     k vectors share one one-hot materialization per chunk."""
+    if not isinstance(S, SparseEll):
+        return S.mv_many(Vk)
     if S.m == 0 or S.n == 0:
         return jnp.zeros(Vk.shape[:2] + (S.m,), jnp.float32)
     if _mxu_route():
@@ -124,6 +134,8 @@ def mv_many(S: SparseEll, Vk: jnp.ndarray) -> jnp.ndarray:
 
 def mtv_many(S: SparseEll, Wk: jnp.ndarray) -> jnp.ndarray:
     """Stacked ``M^T @ w``: (B, k, m) -> (B, k, n)."""
+    if not isinstance(S, SparseEll):
+        return S.mtv_many(Wk)
     if S.m == 0 or S.n == 0:
         return jnp.zeros(Wk.shape[:2] + (S.n,), jnp.float32)
     if _mxu_route():
@@ -135,6 +147,8 @@ def mtv_many(S: SparseEll, Wk: jnp.ndarray) -> jnp.ndarray:
 
 def colsq(S: SparseEll) -> jnp.ndarray:
     """Per-column squared norms diag(M^T M) -> (B, n)."""
+    if not isinstance(S, SparseEll):
+        return S.colsq()
     return jnp.sum(S.col_val * S.col_val, axis=-1)
 
 
@@ -160,6 +174,11 @@ def gram(S: SparseEll, free: Optional[jnp.ndarray] = None
     at factorization, never in the iteration loop.  This is what lets
     the LP Woodbury path consume a sparse E (ops/woodbury.factorize_gram).
     """
+    if not isinstance(S, SparseEll):
+        raise ValueError(
+            "on-device Gram assembly is not provided for structured "
+            "sparse types; pass a host-side gram/ginv to init_state "
+            "(scripts/bench_sparse_rung.py::host_gram_ginv)")
     cv = S.col_val
     if free is not None:
         cv = cv * free.astype(cv.dtype)[:, :, None]

@@ -110,6 +110,11 @@ def main():
                     help="precompute the Woodbury inverse on host "
                          "LAPACK (the remote XLA compiler fails on "
                          "the m~2e4 cholesky program)")
+    ap.add_argument("--struct", action="store_true",
+                    help="structure-aware CaStructE storage "
+                         "(ops/ca_sparse): item rows as a small-m ELL "
+                         "block, dummy XOR rows as column intervals")
+    ap.add_argument("--width-cap", type=int, default=12)
     ap.add_argument("--dense", action="store_true",
                     help="dense bf16 E instead of the ELL layout: the "
                          "XLA gather lowering serializes (~40 cycles/"
@@ -137,29 +142,37 @@ def main():
     t0 = time.time()
     gram = ginv = None
 
-    def inst_csr(Ci, m):
+    def inst_csr(Ci, m, row_map=None):
         import scipy.sparse as sp
         if isinstance(Ci, tuple):
             r, c, v, shape = Ci
+        else:
+            Ci = np.asarray(Ci)
+            r, c = np.nonzero(Ci)
+            v, shape = Ci[r, c], Ci.shape
+        if row_map is not None:
             return sp.csr_matrix(
-                (np.asarray(v, np.float64), (r, c)), shape=tuple(shape))
-        return sp.csr_matrix(np.asarray(Ci, np.float64))
+                (np.asarray(v, np.float64), (row_map[np.asarray(r)], c)),
+                shape=(m, shape[1]))
+        return sp.csr_matrix(
+            (np.asarray(v, np.float64), (r, c)), shape=tuple(shape))
 
-    def host_gram_ginv(m):
+    def host_gram_ginv(m, row_maps=None, tag=""):
         """Host-side sparse Gram (O(nnz K)) and, with --host-ginv, the
         f64 LAPACK Woodbury inverse (the remote XLA compiler fails on
-        the m~2e4 cholesky program).  Shared by the dense and ELL
-        paths."""
+        the m~2e4 cholesky program).  Shared by the dense/ELL/struct
+        paths; ``row_maps`` embeds rows in the struct layout."""
         gram = np.zeros((len(insts), m, m), np.float32)
         for i, (_, Ci) in enumerate(insts):
-            C = inst_csr(Ci, m)
+            C = inst_csr(Ci, m,
+                         None if row_maps is None else row_maps[i])
             mi = C.shape[0]
             gram[i, :mi, :mi] = (C @ C.T).toarray()
         print(f"host gram ({len(insts)},{m},{m}) built "
               f"{time.time()-t0:.1f}s", flush=True)
         if not args.host_ginv:
             return gram, None
-        gc = os.path.join(CACHE, f"host_ginv_{n_items}_"
+        gc = os.path.join(CACHE, f"host_ginv{tag}_{n_items}_"
                                  f"{n_bids}_{args.batch}.npy")
         if os.path.exists(gc):
             return None, np.load(gc)
@@ -198,6 +211,18 @@ def main():
             # inverse 1/ratio there, harmless since E's padded rows
             # are zero.  host ginv cached: ~9 min at m~2e4.
             gram, ginv = host_gram_ginv(prob.m)
+    elif args.struct:
+        prob, row_maps = ca.make_struct_problem(insts,
+                                                width_cap=args.width_cap)
+        E = prob.E
+        print(f"struct problem: m1={E.m1} m2={E.m2} n={E.n} "
+              f"item K={E.item.col_idx.shape[-1]}->cap{args.width_cap} "
+              f"n_ov={E.over.n} Rmax={E.rwin.shape[1]} "
+              f"built {time.time()-t0:.1f}s", flush=True)
+        cfg = LP_CONFIG.replace(linsolve=args.linsolve)
+        if args.linsolve == "woodbury":
+            gram, ginv = host_gram_ginv(E.m, row_maps=row_maps,
+                                        tag="_struct")
     else:
         prob = ca.make_sparse_problem(insts)
         E = prob.E
@@ -250,7 +275,8 @@ def main():
     obj = np.asarray(obj)
     infeas = np.asarray(infeas)
     wall = time.time() - t0
-    kind = "dense-bf16" if args.dense else "sparse"
+    kind = "dense-bf16" if args.dense \
+        else ("struct" if args.struct else "sparse")
     if args.stream:
         kind += "-stream"
     print(f"TPU {kind} {args.linsolve}: {args.batch} inst in {wall:.1f}s = "

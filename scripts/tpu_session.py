@@ -305,6 +305,30 @@ def _run_phase(phases):
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x100000", "--batch", "1", "--host-ginv",
              "--cap", "20000", "--no-oracle"], "sparse_mega_mxu")
+    if "struct_10k" in phases:
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8", "--struct"],
+            "struct_10k")
+    if "struct_mega" in phases:
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--host-ginv", "--probe"], "struct_mega_probe")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--host-ginv", "--cap", "20000", "--no-oracle"],
+            "struct_mega")
+    if "struct_mega_b4" in phases:
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "4", "--struct",
+             "--host-ginv", "--cap", "20000", "--no-oracle"],
+            "struct_mega_b4")
+    if "struct_2000" in phases:
+        # stretch: one (2000, 2e5)-class instance end-to-end (VERDICT
+        # r3 item 2); oracle would take hours -- run without
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "2000x200000", "--batch", "1", "--struct",
+             "--host-ginv", "--cap", "20000", "--no-oracle"],
+            "struct_2000")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")

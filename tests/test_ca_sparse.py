@@ -1,0 +1,145 @@
+"""ops/ca_sparse.py: structure-aware CA sparse matvecs + solver parity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lpbox_admm_tpu.adapters import ca
+from lpbox_admm_tpu.config import LP_CONFIG
+from lpbox_admm_tpu.core import lp
+from lpbox_admm_tpu.ops import ca_sparse, sparse
+
+
+def _dense_from_coo(coo, m, n):
+    D = np.zeros((m, n), np.float32)
+    D[coo[0], coo[1]] = coo[2]
+    return D
+
+
+def _ca_coos(seed=0, B=3, n_items=20, n_bids=60):
+    rng = np.random.RandomState(seed)
+    insts = [ca.generate_cauction(rng, n_items=n_items, n_bids=n_bids,
+                                  return_coo=True) for _ in range(B)]
+    coos = [(r, c, v) for _, (r, c, v, _) in insts]
+    shapes = [s for _, (_, _, _, s) in insts]
+    return insts, coos, shapes
+
+
+def test_detect_interval_suffix():
+    # rows 0-1 generic; rows 2-4 disjoint ascending intervals
+    rows = np.array([0, 0, 1, 1, 2, 2, 2, 3, 3, 4])
+    cols = np.array([0, 5, 2, 3, 0, 1, 2, 3, 4, 6])
+    assert ca_sparse.detect_interval_suffix(rows, cols, 5) == 2
+    # overlap between suffix rows breaks the suffix
+    rows2 = np.array([0, 1, 1, 2, 2])
+    cols2 = np.array([0, 1, 2, 2, 3])        # row 2 starts inside row 1
+    assert ca_sparse.detect_interval_suffix(rows2, cols2, 3) == 2
+    # a pure ascending interval matrix is all suffix
+    rows3 = np.array([0, 0, 1, 1, 1])
+    cols3 = np.array([0, 1, 2, 3, 4])
+    assert ca_sparse.detect_interval_suffix(rows3, cols3, 2) == 0
+    # descending starts violate the ascending requirement (CA dummies
+    # always ascend with the bid index): only the last row qualifies
+    rows4 = np.array([0, 0, 1, 1, 1])
+    cols4 = np.array([3, 4, 0, 1, 2])
+    assert ca_sparse.detect_interval_suffix(rows4, cols4, 2) == 1
+
+
+def test_struct_matvecs_match_dense():
+    insts, coos, shapes = _ca_coos()
+    n = 64
+    for cap in (2, 4, 32):                   # force overflow / no overflow
+        S, row_maps = ca_sparse.build(coos, shapes, n, width_cap=cap,
+                                      td=32, align=128)
+        B, m, _ = S.shape
+        D = np.zeros((B, m, n), np.float32)
+        for b, (coo, (mi, ni)) in enumerate(zip(coos, shapes)):
+            Db = _dense_from_coo(coo, mi, ni)
+            D[b][row_maps[b], :ni] = Db
+        rng = np.random.RandomState(1)
+        v = rng.randn(B, n).astype(np.float32)
+        w = rng.randn(B, m).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(S.mv(jnp.asarray(v))),
+                                   np.einsum("bmn,bn->bm", D, v),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(S.mtv(jnp.asarray(w))),
+                                   np.einsum("bmn,bm->bn", D, w),
+                                   rtol=1e-5, atol=1e-5)
+        Vk = rng.randn(B, 3, n).astype(np.float32)
+        Wk = rng.randn(B, 2, m).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(sparse.mv_many(S, jnp.asarray(Vk))),
+            np.einsum("bmn,bkn->bkm", D, Vk), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sparse.mtv_many(S, jnp.asarray(Wk))),
+            np.einsum("bmn,bkm->bkn", D, Wk), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sparse.colsq(S)), (D ** 2).sum(axis=1),
+            rtol=1e-5, atol=1e-6)
+        assert sparse.is_sparse(S)
+
+
+def _host_gram_ginv(coos, shapes, row_maps, m, n, ratio=2.0):
+    import scipy.sparse as sp
+    from scipy.linalg import cho_factor, cho_solve
+
+    B = len(coos)
+    ginv = np.zeros((B, m, m), np.float32)
+    for i, ((r, c, v), (mi, ni)) in enumerate(zip(coos, shapes)):
+        C = sp.csr_matrix(
+            (np.asarray(v, np.float64), (row_maps[i][r], c)),
+            shape=(m, n))
+        G = (C @ C.T).toarray() + ratio * np.eye(m)
+        ginv[i] = cho_solve(cho_factor(G, lower=True),
+                            np.eye(m)).astype(np.float32)
+    return ginv
+
+
+def test_struct_solve_matches_dense():
+    """Full woodbury solve through CaStructE (host ginv, struct row
+    layout) converges to the dense path's objectives."""
+    insts, coos, shapes = _ca_coos(seed=7, B=3)
+    sprob, row_maps = ca.make_struct_problem(insts)
+    dprob = ca.make_problem(
+        [(p, _dense_from_coo(coo, *s))
+         for (p, _), coo, s in zip(insts, coos, shapes)])
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    ginv = _host_gram_ginv(coos, shapes, row_maps, sprob.m, sprob.n)
+
+    dst = lp.solve(dprob, cfg, window=100, max_iters=12000)
+    sst = lp.init_state(sprob, cfg, ginv=jnp.asarray(ginv))
+    it = 0
+    while it < 12000:
+        sst, _ = lp.solve_window(sst, sprob, cfg, 500, record=False,
+                                 skip_cvg_at=0 if it == 0 else None)
+        it = int(sst.it)
+        if bool(np.asarray(sst.done).all()):
+            break
+    dobj = np.asarray(lp.objective(dst))
+    sobj = np.asarray(lp.objective(sst))
+    assert np.all(np.asarray(lp.infeasible_rows(sst, sprob)) == 0)
+    # chaotic trajectories: converged objectives agree to a few %
+    assert abs(sobj.mean() - dobj.mean()) / (abs(dobj.mean()) + 1.0) \
+        < 0.05, (sobj, dobj)
+
+
+def test_struct_first_window_matches_dense_pointwise():
+    """Before chaos sets in (20 iterations) the struct matvec path must
+    track the dense x iterates pointwise -- catches any layout or
+    precision bug that objective-level parity would blur."""
+    insts, coos, shapes = _ca_coos(seed=11, B=2)
+    sprob, row_maps = ca.make_struct_problem(insts)
+    dprob = ca.make_problem(
+        [(p, _dense_from_coo(coo, *s))
+         for (p, _), coo, s in zip(insts, coos, shapes)])
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    ginv = _host_gram_ginv(coos, shapes, row_maps, sprob.m, sprob.n)
+    sst = lp.init_state(sprob, cfg, ginv=jnp.asarray(ginv))
+    dst = lp.init_state(dprob, cfg)
+    sst, _ = lp.solve_window(sst, sprob, cfg, 20, record=False,
+                             skip_cvg_at=0)
+    dst, _ = lp.solve_window(dst, dprob, cfg, 20, record=False,
+                             skip_cvg_at=0)
+    n = min(sprob.n, dprob.n)
+    np.testing.assert_allclose(np.asarray(sst.x)[:, :n],
+                               np.asarray(dst.x)[:, :n],
+                               rtol=5e-3, atol=5e-3)
