@@ -211,6 +211,14 @@ def main():
                     # packed lower-triangle XLA apply (ops/symm_xla):
                     # exact f32 at 0.54x the G^-1 bytes if XLA fuses
                     cfg_s = cfg_s.replace(ginv_apply="packed-sym")
+                elif part.startswith("rs"):
+                    # faster rho schedule: iterations-to-convergence
+                    # scale with rho_change_step (reference: x1.01/25,
+                    # LPboxADMMsolver.cpp:951-970); the feasible
+                    # incumbent + eviction/refill/swap reporting carry
+                    # the quality (VERDICT r3 item 4: buy the xl 100x
+                    # with an iteration cut, not bytes)
+                    cfg_s = cfg_s.replace(rho_change_step=int(part[2:]))
                 elif part.startswith("c"):
                     cap_s = int(part[1:])
                 elif part.startswith("s"):

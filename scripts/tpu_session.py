@@ -305,6 +305,15 @@ def _run_phase(phases):
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x100000", "--batch", "1", "--host-ginv",
              "--cap", "20000", "--no-oracle"], "sparse_mega_mxu")
+    if "xl_rho" in phases:
+        # iteration cut via a faster rho schedule at equal reported
+        # quality (caps scaled by 25/rs to hold the rho trajectory
+        # endpoint fixed); targets >=4.1 inst/s (100x) at gap0 <= 0
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers",
+             "stream-bf16-rs20-c8000-rep,stream-bf16-rs20-c7200-rep,"
+             "stream-bf16-rs18-c6500-rep,stream-bf16-rs22-c8000-rep"],
+            "xl_rho")
     if "struct_10k" in phases:
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x10000", "--batch", "8", "--struct"],
