@@ -326,6 +326,7 @@ def make_struct_problem(
     n_pad: Optional[int] = None,
     align: int = 128,
     width_cap: int = 12,
+    exact: bool = False,
 ) -> Tuple[LpProblem, list]:
     """Batch CA instances with E as the structure-aware ``CaStructE``
     (ops/ca_sparse): item rows as a width-capped small-m ELL block,
@@ -359,7 +360,7 @@ def make_struct_problem(
     n = n_pad or round_up(max(ns), align)
     B = len(instances)
     E, row_maps = ca_sparse.build(coos, shapes, n, width_cap=width_cap,
-                                  align=align)
+                                  align=align, exact=exact)
     m = E.m
     b_arr = np.zeros((B, n), np.float32)
     rmask = np.zeros((B, m), bool)

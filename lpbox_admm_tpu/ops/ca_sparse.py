@@ -75,7 +75,10 @@ class CaStructE(NamedTuple):
     drow_loc: jnp.ndarray          # (B, NCd, Td) int32 window-local dummy row
     dval: jnp.ndarray              # (B, NCd, Td) f32 1/0 column has dummy
     dbase: jnp.ndarray             # (B, NCd) int32 window base row
-    rwin: jnp.ndarray              # (B, Rmax) f32 zeros -- encodes Rmax
+    rwin: jnp.ndarray              # (B, Rmax) zeros -- encodes Rmax; its
+                                   # DTYPE selects the payload mode:
+                                   # bf16 = fast (3-limb bf16 payloads),
+                                   # f32 = exact (f32/HIGHEST, v1)
     m2_rows: jnp.ndarray           # (B, m2p) f32 1/0 real dummy row mask
     csq: jnp.ndarray               # (B, n) per-column squared norms
 
@@ -127,11 +130,16 @@ class CaStructE(NamedTuple):
 def _mv_many(S: CaStructE, Vk: jnp.ndarray) -> jnp.ndarray:
     """E @ v stack: (B, k, n) -> (B, k, m1p + m2p)."""
     B, k, n = Vk.shape
+    exact = S.rwin.dtype == jnp.float32
+    nl = 1 if exact else 3
+    oh_dt = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else None
     # item block: main + overflow (compressed through the selector)
-    out_i = mxu_sparse.mv_many(S.item, Vk, lo_width=16)
+    out_i = mxu_sparse.mv_many(S.item, Vk, lo_width=16, exact=exact)
     if S.over.n > 0:
-        V_ov = mxu_sparse.mtv_many(S.sel, Vk)          # (B, k, n_ov)
-        out_i = out_i + mxu_sparse.mv_many(S.over, V_ov, lo_width=16)
+        V_ov = mxu_sparse.mtv_many(S.sel, Vk, exact=exact)  # (B, k, n_ov)
+        out_i = out_i + mxu_sparse.mv_many(S.over, V_ov, lo_width=16,
+                                           exact=exact)
 
     # dummy block: per column-chunk local-window one-hot scatter
     NCd, Td = S.drow_loc.shape[1:]
@@ -145,9 +153,9 @@ def _mv_many(S: CaStructE, Vk: jnp.ndarray) -> jnp.ndarray:
     if pad:
         v_cols = jnp.pad(v_cols, ((0, 0), (0, 0), (0, pad)))
     v_cols = v_cols.reshape(B, k, NCd, Td).transpose(2, 0, 3, 1)
-    wl = mxu_sparse._limbs3(
-        S.dval.transpose(1, 0, 2)[:, :, :, None] * v_cols
-    ).reshape(NCd, B, Td, k * 3)                       # (NCd,B,Td,k3)
+    wk = S.dval.transpose(1, 0, 2)[:, :, :, None] * v_cols
+    wl = (wk[..., None] if exact else mxu_sparse._limbs3(wk)
+          ).reshape(NCd, B, Td, k * nl)                # (NCd,B,Td,knl)
     idx_c = S.drow_loc.transpose(1, 0, 2)              # (NCd, B, Td)
     base_c = S.dbase.transpose(1, 0)                   # (NCd, B)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W), 3)
@@ -157,14 +165,15 @@ def _mv_many(S: CaStructE, Vk: jnp.ndarray) -> jnp.ndarray:
         idx, w, base = args
         hi = idx // W
         lo = idx % W
-        oh_hi = (hi[:, :, None] == hi_iota).astype(jnp.bfloat16)
+        oh_hi = (hi[:, :, None] == hi_iota).astype(oh_dt)
         Z = jnp.where(lo[:, :, None, None] == lanes,
                       w[:, :, :, None], 0.0)
-        Z = Z.astype(jnp.bfloat16).reshape(B, Td, k * 3 * W)
+        Z = Z.astype(oh_dt).reshape(B, Td, k * nl * W)
         contrib = jax.lax.dot_general(
             oh_hi, Z, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (B,H,k*3*W)
-        contrib = contrib.reshape(B, H, k, 3, W).sum(3)
+            precision=prec,
+            preferred_element_type=jnp.float32)        # (B,H,k*nl*W)
+        contrib = contrib.reshape(B, H, k, nl, W).sum(3)
         contrib = contrib.transpose(0, 2, 1, 3).reshape(B, k, Rmax)
 
         def upd(a, c, s):
@@ -183,13 +192,17 @@ def _mv_many(S: CaStructE, Vk: jnp.ndarray) -> jnp.ndarray:
 def _mtv_many(S: CaStructE, Wk: jnp.ndarray) -> jnp.ndarray:
     """E^T @ w stack: (B, k, m1p + m2p) -> (B, k, n)."""
     B, k, m = Wk.shape
+    exact = S.rwin.dtype == jnp.float32
+    nl = 1 if exact else 3
+    oh_dt = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else None
     m1p = S.m1
     Wi = Wk[:, :, :m1p]
     Wd = Wk[:, :, m1p:]
-    out = mxu_sparse.mtv_many(S.item, Wi)
+    out = mxu_sparse.mtv_many(S.item, Wi, exact=exact)
     if S.over.n > 0:
-        ov = mxu_sparse.mtv_many(S.over, Wi)           # (B, k, n_ov)
-        out = out + mxu_sparse.mv_many(S.sel, ov)      # expand to n
+        ov = mxu_sparse.mtv_many(S.over, Wi, exact=exact)   # (B, k, n_ov)
+        out = out + mxu_sparse.mv_many(S.sel, ov, exact=exact)
 
     # dummy block: local-window one-hot gather of w_d[drow]
     NCd, Td = S.drow_loc.shape[1:]
@@ -207,15 +220,17 @@ def _mtv_many(S: CaStructE, Wk: jnp.ndarray) -> jnp.ndarray:
         idx, val, base = args
         win = jax.vmap(lambda wb, s: jax.lax.dynamic_slice(
             wb, (0, s), (k, Rmax)))(Wd_pad, base)      # (B, k, Rmax)
-        U = mxu_sparse._limbs3(win.reshape(B, k, R1, 128))
-        U = U.transpose(0, 2, 1, 4, 3).reshape(B, R1, k * 3 * 128)
+        wr = win.reshape(B, k, R1, 128)
+        U = wr[..., None] if exact else mxu_sparse._limbs3(wr)
+        U = U.transpose(0, 2, 1, 4, 3).reshape(B, R1, k * nl * 128)
         hi = idx // 128
         lo = idx % 128
-        oh = (hi[:, :, None] == hi_iota).astype(jnp.bfloat16)
+        oh = (hi[:, :, None] == hi_iota).astype(oh_dt)
         R = jax.lax.dot_general(
             oh, U, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (B,Td,k*3*128)
-        R = R.reshape(B, Td, k, 3, 128)
+            precision=prec,
+            preferred_element_type=jnp.float32)        # (B,Td,k*nl*128)
+        R = R.reshape(B, Td, k, nl, 128)
         g = jnp.sum(jnp.where(lo[:, :, None, None, None] == lanes,
                               R, 0.0), axis=(3, 4))    # (B, Td, k)
         return None, val[:, :, None] * g
@@ -293,8 +308,8 @@ def _split_instance(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
 def build(coos: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
           shapes: Sequence[Tuple[int, int]], n: int,
-          width_cap: int = 12, td: int = 2048, align: int = 128
-          ) -> Tuple[CaStructE, list]:
+          width_cap: int = 12, td: int = 2048, align: int = 128,
+          exact: bool = False) -> Tuple[CaStructE, list]:
     """Build a batched CaStructE from per-instance COO triplets with
     per-instance ``shapes`` (m_i, n_i), padded to a shared column
     count ``n``.  Returns ``(S, row_maps)`` where ``row_maps[i]``
@@ -354,7 +369,8 @@ def build(coos: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
         item=item, over=over, sel=sel,
         drow_loc=jnp.asarray(drow_loc), dval=jnp.asarray(dval),
         dbase=jnp.asarray(dbase),
-        rwin=jnp.zeros((B, rmax), jnp.float32),
+        rwin=jnp.zeros((B, rmax),
+                       jnp.float32 if exact else jnp.bfloat16),
         m2_rows=jnp.asarray(m2_rows), csq=jnp.asarray(csq))
     return S, row_maps
 

@@ -92,26 +92,35 @@ def _flat_chunks(idx: jnp.ndarray, payload: jnp.ndarray, chunk: int
     return idx_c, payload_c, NC, T
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "exact"))
 def mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
-             chunk: int = 8192) -> jnp.ndarray:
+             chunk: int = 8192, exact: bool = False) -> jnp.ndarray:
     """``M^T @ w`` for a stack: (B, k, m) -> (B, k, n).
 
     One shared bf16 one-hot per chunk gathers all k vectors' 3 limbs in
-    a single MXU dot (lane axis = k*3*128)."""
+    a single MXU dot (lane axis = k*3*128).  ``exact=True`` keeps the
+    payload f32 and runs the dot at HIGHEST precision (the r4a v1
+    semantics: a one-hot row has a single nonzero product, so the
+    gather is bit-exact u[i]) -- the mega-scale A/B discriminator."""
     B, n, Kc = S.col_idx.shape
     k = Wk.shape[1]
     m = S.m
+    nl = 1 if exact else 3
     M1 = _cdiv(m, 128)
     pad = M1 * 128 - m
     Wp = Wk.astype(jnp.float32)
     if pad:
         Wp = jnp.pad(Wp, ((0, 0), (0, 0), (0, pad)))
-    # (B, k, M1*128) -> limbs (B, k, M1, 128, 3) -> (B, M1, k*3*128)
-    U = _limbs3(Wp.reshape(B, k, M1, 128))
-    U = U.transpose(0, 2, 1, 4, 3).reshape(B, M1, k * 3 * 128)
+    # (B, k, M1*128) -> limbs (B, k, M1, 128, nl) -> (B, M1, k*nl*128)
+    if exact:
+        U = Wp.reshape(B, k, M1, 128)[..., None]
+    else:
+        U = _limbs3(Wp.reshape(B, k, M1, 128))
+    U = U.transpose(0, 2, 1, 4, 3).reshape(B, M1, k * nl * 128)
     idx_c, val_c, NC, T = _flat_chunks(S.col_idx, S.col_val, chunk)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, 128), 4)
+    oh_dt = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else None
 
     def step(_, args):
         idx, val = args                                    # (B, T)
@@ -119,11 +128,12 @@ def mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
         lo = idx % 128
         oh = (hi[:, :, None]
               == jax.lax.broadcasted_iota(jnp.int32, (1, 1, M1), 2)
-              ).astype(jnp.bfloat16)                       # (B, T, M1)
+              ).astype(oh_dt)                              # (B, T, M1)
         R = jax.lax.dot_general(
             oh, U, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # (B,T,k*3*128)
-        R = R.reshape(B, T, k, 3, 128)
+            precision=prec,
+            preferred_element_type=jnp.float32)            # (B,T,k*nl*128)
+        R = R.reshape(B, T, k, nl, 128)
         g = jnp.sum(jnp.where(lo[:, :, None, None, None] == lanes,
                               R, 0.0), axis=(3, 4))        # (B, T, k)
         return None, val[:, :, None] * g
@@ -134,46 +144,55 @@ def mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
     return jnp.sum(flat.reshape(B, n, Kc, k), axis=2).transpose(0, 2, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "lo_width"))
+@functools.partial(jax.jit, static_argnames=("chunk", "lo_width", "exact"))
 def mv_many(S: sparse_ops.SparseEll, Vk: jnp.ndarray,
-            chunk: int = 8192, lo_width: int = 128) -> jnp.ndarray:
+            chunk: int = 8192, lo_width: int = 128,
+            exact: bool = False) -> jnp.ndarray:
     """``M @ v`` for a stack: (B, k, n) -> (B, k, m).
 
     Scatter-accumulate via ``onehot(hi)^T @ (onehot(lo) * w_limbs)``;
     ``lo_width`` trades hi-matrix size against the Z payload width
-    (pass a small power of two when m is small)."""
+    (pass a small power of two when m is small).  ``exact=True``: f32
+    payload, HIGHEST-precision dot (v1 semantics)."""
     B, n, Kc = S.col_idx.shape
     k = Vk.shape[1]
     m = S.m
     W = lo_width
+    nl = 1 if exact else 3
     assert 128 % W == 0 or W % 128 == 0
     H = _cdiv(m, W)                     # hi space
     # per-slot payload w = val * v[col] -- slot-aligned broadcast
     wk = S.col_val[:, None, :, :] * Vk.astype(jnp.float32)[:, :, :, None]
-    wl = _limbs3(wk)                    # (B, k, n, Kc, 3)
-    wl = wl.transpose(0, 2, 3, 1, 4)    # (B, n, Kc, k, 3)
+    if exact:
+        wl = wk[..., None]              # (B, k, n, Kc, 1)
+    else:
+        wl = _limbs3(wk)                # (B, k, n, Kc, 3)
+    wl = wl.transpose(0, 2, 3, 1, 4)    # (B, n, Kc, k, nl)
     idx_c, w_c, NC, T = _flat_chunks(
-        S.col_idx, wl.reshape(B, n, Kc, k * 3), chunk)
+        S.col_idx, wl.reshape(B, n, Kc, k * nl), chunk)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W), 3)
+    oh_dt = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else None
 
     def step(acc, args):
-        idx, w = args                   # (B, T), (B, T, k*3)
+        idx, w = args                   # (B, T), (B, T, k*nl)
         hi = idx // W
         lo = idx % W
         oh_hi = (hi[:, :, None]
                  == jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
-                 ).astype(jnp.bfloat16)                    # (B, T, H)
+                 ).astype(oh_dt)                           # (B, T, H)
         Z = jnp.where(lo[:, :, None, None] == lanes,
-                      w[:, :, :, None], 0.0)               # (B,T,k3,W)
-        Z = Z.astype(jnp.bfloat16).reshape(B, T, k * 3 * W)
+                      w[:, :, :, None], 0.0)               # (B,T,knl,W)
+        Z = Z.astype(oh_dt).reshape(B, T, k * nl * W)
         contrib = jax.lax.dot_general(
             oh_hi, Z, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # (B,H,k*3*W)
+            precision=prec,
+            preferred_element_type=jnp.float32)            # (B,H,k*nl*W)
         return acc + contrib, None
 
-    acc0 = jnp.zeros((B, H, k * 3 * W), jnp.float32)
+    acc0 = jnp.zeros((B, H, k * nl * W), jnp.float32)
     acc, _ = jax.lax.scan(step, acc0, (idx_c, w_c))
-    acc = acc.reshape(B, H, k, 3, W).sum(3)                # limb sum
+    acc = acc.reshape(B, H, k, nl, W).sum(3)               # limb sum
     out = acc.transpose(0, 2, 1, 3).reshape(B, k, H * W)
     return out[:, :, :m]
 

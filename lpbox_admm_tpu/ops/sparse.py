@@ -48,6 +48,15 @@ def _mxu_route() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _mxu_exact() -> bool:
+    """Run the MXU route in exact (f32/HIGHEST) payload mode instead of
+    the 3-limb bf16 fast mode.  Read at trace time; set LPBOX_MXU_EXACT=1
+    before the first dispatch of a given shape (mega-scale A/B:
+    struct_mega r4b failed at the cap with the fast payloads where the
+    f32 v1 run converged)."""
+    return os.environ.get("LPBOX_MXU_EXACT", "0") == "1"
+
+
 class SparseEll(NamedTuple):
     """Batched (B, m, n) sparse matrix, ELL row + column layouts."""
 
@@ -97,7 +106,7 @@ def mv(S: SparseEll, v: jnp.ndarray) -> jnp.ndarray:
         return jnp.zeros((v.shape[0], S.m), jnp.float32)
     if _mxu_route():
         from . import mxu_sparse
-        return mxu_sparse.mv(S, v)
+        return mxu_sparse.mv(S, v, exact=_mxu_exact())
     g = _gather_rows(v.astype(jnp.float32), S.row_idx)
     return jnp.sum(S.row_val * g, axis=-1)
 
@@ -113,7 +122,7 @@ def mtv(S: SparseEll, w: jnp.ndarray) -> jnp.ndarray:
         return jnp.zeros((w.shape[0], S.n), jnp.float32)
     if _mxu_route():
         from . import mxu_sparse
-        return mxu_sparse.mtv(S, w)
+        return mxu_sparse.mtv(S, w, exact=_mxu_exact())
     g = _gather_rows(w.astype(jnp.float32), S.col_idx)
     return jnp.sum(S.col_val * g, axis=-1)
 
@@ -127,7 +136,7 @@ def mv_many(S: SparseEll, Vk: jnp.ndarray) -> jnp.ndarray:
         return jnp.zeros(Vk.shape[:2] + (S.m,), jnp.float32)
     if _mxu_route():
         from . import mxu_sparse
-        return mxu_sparse.mv_many(S, Vk)
+        return mxu_sparse.mv_many(S, Vk, exact=_mxu_exact())
     return jnp.stack([mv(S, Vk[:, k]) for k in range(Vk.shape[1])],
                      axis=1)
 
@@ -140,7 +149,7 @@ def mtv_many(S: SparseEll, Wk: jnp.ndarray) -> jnp.ndarray:
         return jnp.zeros(Wk.shape[:2] + (S.n,), jnp.float32)
     if _mxu_route():
         from . import mxu_sparse
-        return mxu_sparse.mtv_many(S, Wk)
+        return mxu_sparse.mtv_many(S, Wk, exact=_mxu_exact())
     return jnp.stack([mtv(S, Wk[:, k]) for k in range(Wk.shape[1])],
                      axis=1)
 

@@ -338,6 +338,11 @@ def _run_phase(phases):
             ["--rung", "2000x200000", "--batch", "1", "--struct",
              "--host-ginv", "--cap", "20000", "--no-oracle"],
             "struct_2000")
+    if "struct_diag" in phases:
+        # r4b struct-mega failure discriminator: on-chip matvec errors
+        # + exact-vs-fast payload trajectory trace (CPU already
+        # exonerated the layout -- scripts/diag_struct_mega.py)
+        run("scripts/diag_struct_tpu.py", [], "struct_diag")
     if "cg_bisect" in phases:
         # LAST: a worker crash can wedge the tunnel for ~1h
         run("scripts/diag_cg_crash.py", [], "cg_bisect")

@@ -47,9 +47,9 @@ def test_detect_interval_suffix():
 def test_struct_matvecs_match_dense():
     insts, coos, shapes = _ca_coos()
     n = 64
-    for cap in (2, 4, 32):                   # force overflow / no overflow
+    for cap, exact in ((2, False), (4, False), (32, False), (4, True)):
         S, row_maps = ca_sparse.build(coos, shapes, n, width_cap=cap,
-                                      td=32, align=128)
+                                      td=32, align=128, exact=exact)
         B, m, _ = S.shape
         D = np.zeros((B, m, n), np.float32)
         for b, (coo, (mi, ni)) in enumerate(zip(coos, shapes)):
