@@ -169,6 +169,14 @@ def main():
               f"{res['L0'].mean():.0f}, L1 {res['L1'].mean():.2f}, "
               f"L2 {res['L2'].mean():.3f}, Linf {res['Li'].mean():.3f}; "
               f"wall {wall:.1f}s -> {csv}")
+        # per-image distribution (the reference evaluates its full
+        # image set, main_mha.py:72-203 -- report quartiles, not just
+        # means, so tail behaviour is visible)
+        for norm in ("L0", "L1", "L2", "Li"):
+            q = np.percentile(np.asarray(res[norm], np.float64),
+                              [0, 25, 50, 75, 100])
+            print(f"  {norm} quartiles: min {q[0]:.3f} / q25 {q[1]:.3f}"
+                  f" / med {q[2]:.3f} / q75 {q[3]:.3f} / max {q[4]:.3f}")
         if args.dump_xiter and args.phase == "solve":
             # record G trajectories of a plain windowed run for training
             xdir = os.path.join(args.data_dir, "attack_xiter")

@@ -115,6 +115,13 @@ def main():
                          "(ops/ca_sparse): item rows as a small-m ELL "
                          "block, dummy XOR rows as column intervals")
     ap.add_argument("--width-cap", type=int, default=12)
+    ap.add_argument("--exact", action="store_true",
+                    help="exact (f32/HIGHEST) MXU payloads instead of "
+                         "the 3-limb bf16 fast mode (struct route)")
+    ap.add_argument("--rho-step", type=int, default=None,
+                    help="rho_change_step override (default 25): "
+                         "smaller = faster rho growth = fewer "
+                         "iterations at some quality risk")
     ap.add_argument("--dense", action="store_true",
                     help="dense bf16 E instead of the ELL layout: the "
                          "XLA gather lowering serializes (~40 cycles/"
@@ -138,6 +145,8 @@ def main():
     from lpbox_admm_tpu.core import lp
 
     print(f"backend: {jax.default_backend()}", flush=True)
+    if args.exact and not args.struct:
+        os.environ["LPBOX_MXU_EXACT"] = "1"   # generic ELL route knob
     insts = get_instances(n_items, n_bids, args.batch)
     t0 = time.time()
     gram = ginv = None
@@ -213,7 +222,8 @@ def main():
             gram, ginv = host_gram_ginv(prob.m)
     elif args.struct:
         prob, row_maps = ca.make_struct_problem(insts,
-                                                width_cap=args.width_cap)
+                                                width_cap=args.width_cap,
+                                                exact=args.exact)
         E = prob.E
         print(f"struct problem: m1={E.m1} m2={E.m2} n={E.n} "
               f"item K={E.item.col_idx.shape[-1]}->cap{args.width_cap} "
@@ -236,6 +246,9 @@ def main():
             # the dense one (the on-device sparse gram is a serialized
             # scatter; the remote compiler fails on the big cholesky)
             gram, ginv = host_gram_ginv(E.m)
+
+    if args.rho_step is not None:
+        cfg = cfg.replace(rho_change_step=args.rho_step)
 
     if args.probe:
         # fixed-iteration cost, immune to early-exit luck

@@ -338,6 +338,20 @@ def _run_phase(phases):
             ["--rung", "2000x200000", "--batch", "1", "--struct",
              "--host-ginv", "--cap", "20000", "--no-oracle"],
             "struct_2000")
+    if "attack64" in phases:
+        # VERDICT r3 item 8: the full shipped image set (the repo has
+        # 100 PNGs; 64 = every image with a distinct target) vs the
+        # TRAINED victim, per-image L-norm quartiles, l2f vs plain
+        run("experiments/run_attack.py",
+            ["-phase", "solve", "-n", "64",
+             "-victim", "checkpoints/cifar_victim.npz",
+             "-result_dir", "result_r4"], "attack64_plain")
+        run("experiments/run_attack.py",
+            ["-phase", "test", "-net", "mha", "-n", "64",
+             "-victim", "checkpoints/cifar_victim.npz",
+             "-checkpoint",
+             "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
+             "-result_dir", "result_r4"], "attack64_l2f")
     if "struct_diag" in phases:
         # r4b struct-mega failure discriminator: on-chip matvec errors
         # + exact-vs-fast payload trajectory trace (CPU already
