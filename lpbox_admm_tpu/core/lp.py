@@ -100,15 +100,33 @@ def _wb_ratio(cfg: SolverConfig) -> float:
     return 2.0
 
 
-def _ginv_store(ginv: jnp.ndarray, cfg: SolverConfig) -> jnp.ndarray:
+def _is_struct_ginv(ginv) -> bool:
+    return getattr(ginv, "is_struct_ginv", False)
+
+
+def _ginv_store(ginv, cfg: SolverConfig):
     """Apply the configured storage dtype to a freshly-computed G^-1.
 
     The FACTORIZATION is always f32 (ADVICE r2); only the stored copy
     the iteration streams may opt into bf16 (cfg.ginv_dtype, xl rung).
+    Structured inverses (ops/struct_ginv.StructGinv) pass through --
+    their blocks are already minimal.
     """
+    if _is_struct_ginv(ginv):
+        return ginv
     if cfg.ginv_dtype == "bfloat16":
         return ginv.astype(jnp.bfloat16)
     return ginv
+
+
+def _ginv_apply(ginv, r: jnp.ndarray) -> jnp.ndarray:
+    """``G^{-1} r`` for either representation: dense (B, m, m) einsum
+    (bf16 storage handled by _emv's limb split) or the Schur-structured
+    block elimination (ops/struct_ginv: diagonal dummy Gram block --
+    ~20x less HBM per apply at the (1000, 1e5)-class rungs)."""
+    if _is_struct_ginv(ginv):
+        return ginv.apply(r)
+    return _emv("bmk,bk->bm", ginv, r)
 
 
 def _E32(E):
@@ -174,7 +192,8 @@ def init_state(prob: LpProblem, cfg: SolverConfig,
     if cfg.linsolve == "woodbury":
         if ginv is not None:
             factor = woodbury.WoodburyFactor(
-                ginv=ginv.astype(jnp.float32), ratio=_wb_ratio(cfg))
+                ginv=ginv if _is_struct_ginv(ginv)
+                else ginv.astype(jnp.float32), ratio=_wb_ratio(cfg))
         elif gram is not None:
             factor = woodbury.factorize_from_gram(gram, _wb_ratio(cfg))
         else:
@@ -252,12 +271,19 @@ def _emv(spec: str, M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
             return sparse_ops.mtv_many(M, v)
         raise ValueError(f"unsupported sparse einsum spec {spec!r}")
     if M.dtype == jnp.bfloat16:
+        # limb rounding via lax.reduce_precision: the XLA TPU pipeline
+        # folds astype(bf16).astype(f32) round-trips to identity, which
+        # cancels the residual subtraction and silently degrades the
+        # split to ONE limb (measured on-chip: 1.7e-3 matvec error,
+        # scripts/diag_struct_tpu.py r4c) -- the exact failure mode the
+        # limb split exists to avoid.  reduce_precision cannot be
+        # folded; the astype after it is exact.
         v32 = v.astype(jnp.float32)
         limbs = []
         for _ in range(3):                        # 3x8 mantissa bits
-            vi = v32.astype(jnp.bfloat16)
-            limbs.append(vi)
-            v32 = v32 - vi.astype(jnp.float32)
+            vf = jax.lax.reduce_precision(v32, 8, 7)
+            limbs.append(vf.astype(jnp.bfloat16))
+            v32 = v32 - vf
         vs = jnp.stack(limbs, axis=1)             # (B, 3, ...)
         in_m, rest = spec.split(",")
         in_v, out = rest.split("->")
@@ -339,7 +365,7 @@ def step(state: LpState, prob: LpProblem, cfg: SolverConfig,
         # E_f E_f^T u = (G - ratio I) u = E rhs - ratio u.
         fw = _emv("bmn,bkn->bkm", prob.E, jnp.stack([rhs, x0], axis=1))
         Erhs, Ex0 = fw[:, 0], fw[:, 1]
-        u = _emv("bmk,bk->bm", state.ginv, Erhs)
+        u = _ginv_apply(state.ginv, Erhs)
         Ex_exact = (_wb_ratio(cfg) / c) * u
         rho4n = rho_at(it + 1, cfg)
         z4_keep = state.z4 + gamma * rho4 * (Ex0 + y3 - state.f_eff)
@@ -540,6 +566,12 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
     ex = _emv("bmn,bn->bm", prob.E, free_f * state.x)
     ex = jnp.where(do[:, None], ex, state.ex)
     if cfg.linsolve == "woodbury":
+        if _is_struct_ginv(state.ginv):
+            raise NotImplementedError(
+                "early fixing with a Schur-structured G^-1 would need a "
+                "structured refactorization (the fix event changes the "
+                "free-column Gram); run the struct-mega rungs without "
+                "apply_fix, or pass a dense host ginv")
         # f32 cast mirrors init_state: G^-1 in bf16 was measured to
         # cost up to 30% objective; guard against a bf16 problem view
         # ever reaching this refactorization (round-2 ADVICE)
@@ -681,7 +713,10 @@ def solve_blocked(prob: LpProblem, cfg: SolverConfig, block: int = 8,
                  for lo in range(0, B, block)]
         grams = [None if gram is None else gram[lo:lo + block]
                  for lo in range(0, B, block)]
-        ginvs = [None if ginv is None else ginv[lo:lo + block]
+        # tree_map: ginv may be a structured pytree (StructGinv), whose
+        # NamedTuple [] would slice FIELDS, not the batch axis
+        ginvs = [None if ginv is None else
+                 jax.tree_util.tree_map(lambda a: a[lo:lo + block], ginv)
                  for lo in range(0, B, block)]
     states = [jinit(p, cfg, gram=g, ginv=gi)
               for p, g, gi in zip(probs, grams, ginvs)]

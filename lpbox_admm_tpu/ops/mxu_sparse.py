@@ -61,13 +61,26 @@ def _cdiv(a: int, b: int) -> int:
 
 def _limbs3(x: jnp.ndarray) -> jnp.ndarray:
     """Split f32 ``x`` into 3 bf16 limbs stacked on a NEW last axis:
-    x ~ l0 + l1 + l2 to ~24 mantissa bits (f32-equivalent)."""
+    x ~ l0 + l1 + l2 to ~24 mantissa bits (f32-equivalent).
+
+    The rounding MUST go through ``lax.reduce_precision``, not
+    ``astype(bf16).astype(f32)``: the XLA TPU pipeline folds the
+    convert round-trip to identity, which cancels the residual
+    subtraction and silently degrades the split to a SINGLE limb --
+    measured on-chip as 1.7e-3 matvec error (exactly one bf16 ulp)
+    where CPU emulation of the same program gave 8e-8
+    (scripts/diag_struct_tpu.py, r4c).  reduce_precision is the
+    documented non-foldable rounding primitive; the subsequent astype
+    is exact because the value is already bf16-representable."""
     x = x.astype(jnp.float32)
-    l0 = x.astype(jnp.bfloat16)
-    r = x - l0.astype(jnp.float32)
-    l1 = r.astype(jnp.bfloat16)
-    l2 = (r - l1.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.stack([l0, l1, l2], axis=-1)
+    l0f = jax.lax.reduce_precision(x, 8, 7)
+    r = x - l0f
+    l1f = jax.lax.reduce_precision(r, 8, 7)
+    r2 = r - l1f
+    l2f = jax.lax.reduce_precision(r2, 8, 7)
+    return jnp.stack([l0f.astype(jnp.bfloat16),
+                      l1f.astype(jnp.bfloat16),
+                      l2f.astype(jnp.bfloat16)], axis=-1)
 
 
 def _flat_chunks(idx: jnp.ndarray, payload: jnp.ndarray, chunk: int

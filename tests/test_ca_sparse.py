@@ -122,6 +122,79 @@ def test_struct_solve_matches_dense():
         < 0.05, (sobj, dobj)
 
 
+def test_limbs3_reconstructs_f32_exactly():
+    """3 bf16 limbs carry 24 explicit mantissa bits -- reconstruction
+    must be BIT-exact for f32 inputs.  The rounding goes through
+    lax.reduce_precision: the astype(bf16).astype(f32) formulation was
+    folded to identity by the XLA TPU pipeline, silently degrading the
+    split to one limb (1.7e-3 on-chip matvec error, diag r4c)."""
+    from lpbox_admm_tpu.ops.mxu_sparse import _limbs3
+
+    rng = np.random.RandomState(0)
+    x = (rng.randn(4096).astype(np.float32)
+         * np.logspace(-6, 6, 4096).astype(np.float32))
+    L = np.asarray(_limbs3(jnp.asarray(x)), np.float64)
+    np.testing.assert_array_equal(L.sum(-1).astype(np.float32), x)
+    # all three limbs must actually carry information (fold regression)
+    assert np.count_nonzero(L[:, 1]) > 3500
+    assert np.count_nonzero(L[:, 2]) > 3000
+
+
+def test_struct_ginv_matches_dense_inverse():
+    """Schur block elimination (ops/struct_ginv) applies exactly the
+    same inverse as the dense host LAPACK ginv."""
+    from lpbox_admm_tpu.ops.struct_ginv import build_struct_ginv
+
+    insts, coos, shapes = _ca_coos(seed=3, B=2)
+    sprob, row_maps = ca.make_struct_problem(insts)
+    E = sprob.E
+    dense = _host_gram_ginv(coos, shapes, row_maps, sprob.m, sprob.n)
+    sg = build_struct_ginv(coos, shapes, row_maps, E.m1, E.m2,
+                           sprob.n, ratio=2.0)
+    rng = np.random.RandomState(0)
+    r = rng.randn(2, sprob.m).astype(np.float32)
+    z_dense = np.einsum("bmk,bk->bm", dense, r)
+    z_schur = np.asarray(sg.apply(jnp.asarray(r)))
+    np.testing.assert_allclose(z_schur, z_dense, rtol=2e-4, atol=2e-5)
+
+
+def test_struct_solve_with_schur_ginv():
+    """Full solve through StructGinv tracks the dense-ginv struct solve
+    pointwise over the first window and matches converged objectives
+    (same algebra, different evaluation order)."""
+    from lpbox_admm_tpu.ops.struct_ginv import build_struct_ginv
+
+    insts, coos, shapes = _ca_coos(seed=5, B=2)
+    sprob, row_maps = ca.make_struct_problem(insts)
+    E = sprob.E
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    dense = _host_gram_ginv(coos, shapes, row_maps, sprob.m, sprob.n)
+    sg = build_struct_ginv(coos, shapes, row_maps, E.m1, E.m2,
+                           sprob.n, ratio=2.0)
+
+    st_d = lp.init_state(sprob, cfg, ginv=jnp.asarray(dense))
+    st_s = lp.init_state(sprob, cfg, ginv=sg)
+    st_d, _ = lp.solve_window(st_d, sprob, cfg, 20, record=False,
+                              skip_cvg_at=0)
+    st_s, _ = lp.solve_window(st_s, sprob, cfg, 20, record=False,
+                              skip_cvg_at=0)
+    np.testing.assert_allclose(np.asarray(st_s.x), np.asarray(st_d.x),
+                               rtol=5e-3, atol=5e-3)
+
+    # blocked dispatch slices the structured pytree correctly (block=1)
+    st_b, _ = lp.solve_blocked(sprob, cfg, block=1, window=500,
+                               max_iters=6000, ginv=sg)
+    obj_b = np.asarray(lp.objective(st_b))
+    assert np.all(np.isfinite(obj_b))
+    it = 20
+    while it < 6000 and not bool(np.asarray(st_s.done).all()):
+        st_s, _ = lp.solve_window(st_s, sprob, cfg, 500, record=False)
+        it = int(st_s.it)
+    obj_s = np.asarray(lp.objective(st_s))
+    assert abs(obj_b.mean() - obj_s.mean()) \
+        / (abs(obj_s.mean()) + 1.0) < 0.05, (obj_b, obj_s)
+
+
 def test_struct_first_window_matches_dense_pointwise():
     """Before chaos sets in (20 iterations) the struct matvec path must
     track the dense x iterates pointwise -- catches any layout or
