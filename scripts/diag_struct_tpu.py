@@ -105,6 +105,9 @@ def trace_solve(prob, tag, cap=20000, every=2000, window=500):
     return st
 
 
+if "--errors-only" in sys.argv:
+    sys.exit(0)
+
 print("== struct-exact trace", flush=True)
 trace_solve(sprob_e, "exact")
 print("== struct-fast trace", flush=True)

@@ -352,6 +352,36 @@ def _run_phase(phases):
              "-checkpoint",
              "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
              "-result_dir", "result_r4"], "attack64_l2f")
+    if "struct_fixed" in phases:
+        # after the reduce_precision limb fix: fast payloads should now
+        # be f32-grade on chip; Schur ginv kills the 171s/inst host
+        # LAPACK build and ~2ms/iter of dense G^-1 streaming
+        run("scripts/diag_struct_tpu.py", ["--errors-only"],
+            "struct_err_check")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--probe"], "struct_schur_probe")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--cap", "20000", "--no-oracle"],
+            "struct_schur_mega")
+    if "struct_scale" in phases:
+        # batch + stretch rungs through the fixed fast path + Schur
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "4", "--struct",
+             "--schur", "--cap", "20000", "--no-oracle"],
+            "struct_schur_b4")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "2000x200000", "--batch", "1", "--struct",
+             "--schur", "--cap", "20000", "--no-oracle"],
+            "struct_schur_2000")
+    if "mega_rho" in phases:
+        # iteration cut at mega: rho_change_step 20 with the cap scaled
+        # 25/20 of the observed 13500-iter convergence point
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "20", "--cap", "12000",
+             "--no-oracle"], "mega_rho20")
     if "struct_diag" in phases:
         # r4b struct-mega failure discriminator: on-chip matvec errors
         # + exact-vs-fast payload trajectory trace (CPU already
