@@ -1,0 +1,104 @@
+"""Per-component timing of the struct-mega iteration (TPU).
+
+The struct route's full iteration measured 9.4 ms at (1000, 1e5) B=1
+(r4b probe).  The ADMM step spends: one stacked forward mv (k=2), one
+G^-1 apply, one stacked transpose mtv (k=4), n-side vector ops, and an
+E pass every incumbent_stride iterations.  This probe times each piece
+so optimization goes where the milliseconds are:
+
+    python scripts/probe_struct_ops.py [--rung 1000x100000] [--batch 1]
+
+Methodology: perturbed inputs per rep (axon dedup hazard), host fetch
+inside the timed region, min over reps (utils/profiling rules).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rung", default="1000x100000")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--exact", action="store_true")
+    args = ap.parse_args()
+    n_items, n_bids = map(int, args.rung.split("x"))
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from bench_sparse_rung import get_instances
+    from lpbox_admm_tpu.adapters import ca
+    from lpbox_admm_tpu.ops import ca_sparse, mxu_sparse
+    from lpbox_admm_tpu.ops.struct_ginv import build_struct_ginv
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    insts = get_instances(n_items, n_bids, args.batch)
+    prob, row_maps = ca.make_struct_problem(insts, exact=args.exact)
+    E = prob.E
+    B, m, n = E.shape
+    print(f"struct m1={E.m1} m2={E.m2} n={n} B={B}", flush=True)
+
+    coos = [(Ci[0], Ci[1], Ci[2]) for _, Ci in insts]
+    shp = [Ci[3] for _, Ci in insts]
+    sg = build_struct_ginv(coos, shp, row_maps, E.m1, E.m2, n, ratio=2.0)
+
+    rng = np.random.RandomState(0)
+
+    def timeit(name, fn, mk_in):
+        out = fn(mk_in(0))          # compile
+        jax.block_until_ready(out)
+        best = np.inf
+        for rep in range(1, args.reps + 1):
+            a = mk_in(rep)
+            t0 = time.time()
+            r = fn(a)
+            np.asarray(jax.tree_util.tree_leaves(r)[0])
+            best = min(best, time.time() - t0)
+        print(f"{name}: {best*1e3:.2f} ms", flush=True)
+        return best
+
+    def vkn(k):
+        return lambda rep: jnp.asarray(
+            rng.randn(B, k, n).astype(np.float32))
+
+    def vkm(k):
+        return lambda rep: jnp.asarray(
+            rng.randn(B, k, m).astype(np.float32))
+
+    import functools
+
+    mv2 = jax.jit(lambda v: ca_sparse._mv_many(E, v))
+    mtv4 = jax.jit(lambda w: ca_sparse._mtv_many(E, w))
+    item_mv = jax.jit(functools.partial(
+        mxu_sparse.mv_many, E.item, lo_width=16, exact=args.exact))
+    item_mtv = jax.jit(functools.partial(
+        mxu_sparse.mtv_many, E.item, exact=args.exact))
+    ginv_ap = jax.jit(sg.apply)
+
+    timeit("full mv_many k=2  ", mv2, vkn(2))
+    timeit("full mtv_many k=4 ", mtv4, vkm(4))
+    timeit("item mv k=2       ", item_mv, vkn(2))
+    timeit("item mtv k=4      ", item_mtv,
+           lambda rep: jnp.asarray(
+               rng.randn(B, 4, E.m1).astype(np.float32)))
+    timeit("schur ginv apply  ", ginv_ap,
+           lambda rep: jnp.asarray(rng.randn(B, m).astype(np.float32)))
+
+    # dummy-block share = full minus item (same one-hot structure)
+    print("(dummy block = full - item at each direction)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
