@@ -376,12 +376,21 @@ def _run_phase(phases):
              "--schur", "--cap", "20000", "--no-oracle"],
             "struct_schur_2000")
     if "mega_rho" in phases:
-        # iteration cut at mega: rho_change_step 20 with the cap scaled
-        # 25/20 of the observed 13500-iter convergence point
+        # iteration cut at mega: rs18 carried BETTER xl quality than
+        # rs20 at a lower cap (ladder.json r4c); cap scaled 18/25 of
+        # the observed 13500-iter convergence point
         run("scripts/bench_sparse_rung.py",
             ["--rung", "1000x100000", "--batch", "1", "--struct",
-             "--schur", "--rho-step", "20", "--cap", "12000",
-             "--no-oracle"], "mega_rho20")
+             "--schur", "--rho-step", "18", "--cap", "10000",
+             "--no-oracle"], "mega_rho18")
+    if "xl_rho2" in phases:
+        # push the rs frontier below 18 (rs18-c6500-rep measured 5.0
+        # inst/s = 122x CPU at gap0 -7.7%; the quality cliff is not yet
+        # visible)
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers",
+             "stream-bf16-rs16-c5800-rep,stream-bf16-rs14-c5100-rep,"
+             "stream-bf16-rs12-c4400-rep"], "xl_rho2")
     if "struct_diag" in phases:
         # r4b struct-mega failure discriminator: on-chip matvec errors
         # + exact-vs-fast payload trajectory trace (CPU already
