@@ -48,6 +48,12 @@ def main():
                          "per-image better selected energy (same "
                          "executable, different weights -- no extra "
                          "compile)")
+    ap.add_argument("--confidence", type=float, default=None,
+                    help="override pcfg.fix_confidence (default 0.90, "
+                         "the reference's deter_fix_2 C): raising it "
+                         "fixes fewer px -- the untried lever against "
+                         "the over-fixing diagnosed in the 1e5-px "
+                         "fine-tunes (VERDICT r3 item 3)")
     args = ap.parse_args()
 
     import jax
@@ -69,6 +75,8 @@ def main():
     cfg = SEG_CONFIG
     pcfg = PolicyConfig(net="mha", node_size=5, chunk_dim=5,
                         window_mode="sliding")
+    if args.confidence is not None:
+        pcfg = pcfg.replace(fix_confidence=args.confidence)
     ids = [int(v) for v in args.images.split(",")]
     by_id = {os.path.splitext(os.path.basename(p))[0]: p
              for p in seg.reference_image_paths()}

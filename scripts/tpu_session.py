@@ -352,6 +352,20 @@ def _run_phase(phases):
              "-checkpoint",
              "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
              "-result_dir", "result_r4"], "attack64_l2f")
+    if "seg_conf" in phases:
+        # eval-time fix-confidence sweep at the 1e5-px protocol
+        # (VERDICT r3 item 3's untried lever: both nets over-fix):
+        # shipped net at raised C, and the full-semantics fine-tune
+        # (ft1e5b, over-fixes 89k px) at raised C
+        for c in ("0.95", "0.98"):
+            run("scripts/eval_seg_1e5.py",
+                ["--variants", "masked+ref10r2b2",
+                 "--confidence", c], f"seg_conf_{c}")
+        run("scripts/eval_seg_1e5.py",
+            ["--variants", "masked+ref10r2b2", "--confidence", "0.98",
+             "--checkpoint",
+             "checkpoints_r3/seg_mha_ft1e5b/checkpoint/"
+             "best_checkpoint.npz"], "seg_conf_ft98")
     if "struct_fixed" in phases:
         # after the reduce_precision limb fix: fast payloads should now
         # be f32-grade on chip; Schur ginv kills the 171s/inst host
@@ -365,6 +379,9 @@ def _run_phase(phases):
             ["--rung", "1000x100000", "--batch", "1", "--struct",
              "--schur", "--cap", "20000", "--no-oracle"],
             "struct_schur_mega")
+    if "probe_struct" in phases:
+        run("scripts/probe_struct_ops.py",
+            ["--rung", "1000x100000", "--batch", "1"], "probe_struct")
     if "struct_scale" in phases:
         # batch + stretch rungs through the fixed fast path + Schur
         run("scripts/bench_sparse_rung.py",
