@@ -379,6 +379,14 @@ def _run_phase(phases):
             ["--rung", "1000x100000", "--batch", "1", "--struct",
              "--schur", "--cap", "20000", "--no-oracle"],
             "struct_schur_mega")
+    if "dense_mega_refix" in phases:
+        # post-limb-fix A/B: the r3 'bf16 3-limb fails at m~2e4' ruling
+        # (STATUS 2b) is now suspected to be the astype fold, not limb
+        # truncation -- one run decides the story
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--dense",
+             "--host-ginv", "--no-oracle", "--cap", "20000"],
+            "dense_mega_bf16_refix")
     if "probe_struct" in phases:
         run("scripts/probe_struct_ops.py",
             ["--rung", "1000x100000", "--batch", "1"], "probe_struct")
