@@ -379,6 +379,12 @@ def _run_phase(phases):
             ["--rung", "1000x100000", "--batch", "1", "--struct",
              "--schur", "--cap", "20000", "--no-oracle"],
             "struct_schur_mega")
+    if "mega_best" in phases:
+        # combine the measured wins: batch amortization + rho18 cut
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "4", "--struct",
+             "--schur", "--rho-step", "18", "--cap", "10000",
+             "--no-oracle"], "mega_b4_rho18")
     if "dense_mega_refix" in phases:
         # post-limb-fix A/B: the r3 'bf16 3-limb fails at m~2e4' ruling
         # (STATUS 2b) is now suspected to be the astype fold, not limb
