@@ -46,7 +46,7 @@ bounds all temporaries at a few MB.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -105,9 +105,19 @@ def _flat_chunks(idx: jnp.ndarray, payload: jnp.ndarray, chunk: int
     return idx_c, payload_c, NC, T
 
 
+def _auto_chunk(B: int) -> int:
+    """Per-chunk temporaries scale with B (the mtv gather's R tensor is
+    (B, T, k*nl*128) f32): at B=4 the default T=8192 spilled past VMEM
+    and the b4 mega solve ran 2.4x worse per instance-iteration than
+    B=1 (struct_schur_b4, r4d).  Scale T down with B to hold the
+    footprint roughly constant."""
+    return max(1024, 8192 // max(B, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "exact"))
 def mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
-             chunk: int = 8192, exact: bool = False) -> jnp.ndarray:
+             chunk: Optional[int] = None,
+             exact: bool = False) -> jnp.ndarray:
     """``M^T @ w`` for a stack: (B, k, m) -> (B, k, n).
 
     One shared bf16 one-hot per chunk gathers all k vectors' 3 limbs in
@@ -116,6 +126,8 @@ def mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
     semantics: a one-hot row has a single nonzero product, so the
     gather is bit-exact u[i]) -- the mega-scale A/B discriminator."""
     B, n, Kc = S.col_idx.shape
+    if chunk is None:
+        chunk = _auto_chunk(B)
     k = Wk.shape[1]
     m = S.m
     nl = 1 if exact else 3
@@ -159,7 +171,7 @@ def mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("chunk", "lo_width", "exact"))
 def mv_many(S: sparse_ops.SparseEll, Vk: jnp.ndarray,
-            chunk: int = 8192, lo_width: int = 128,
+            chunk: Optional[int] = None, lo_width: int = 128,
             exact: bool = False) -> jnp.ndarray:
     """``M @ v`` for a stack: (B, k, n) -> (B, k, m).
 
@@ -168,6 +180,8 @@ def mv_many(S: sparse_ops.SparseEll, Vk: jnp.ndarray,
     (pass a small power of two when m is small).  ``exact=True``: f32
     payload, HIGHEST-precision dot (v1 semantics)."""
     B, n, Kc = S.col_idx.shape
+    if chunk is None:
+        chunk = _auto_chunk(B)
     k = Vk.shape[1]
     m = S.m
     W = lo_width
@@ -211,12 +225,14 @@ def mv_many(S: sparse_ops.SparseEll, Vk: jnp.ndarray,
 
 
 def mtv(S: sparse_ops.SparseEll, w: jnp.ndarray,
-        chunk: int = 8192) -> jnp.ndarray:
+        chunk: Optional[int] = None, exact: bool = False) -> jnp.ndarray:
     """``M^T @ w``: (B, m) -> (B, n)."""
-    return mtv_many(S, w[:, None], chunk=chunk)[:, 0]
+    return mtv_many(S, w[:, None], chunk=chunk, exact=exact)[:, 0]
 
 
 def mv(S: sparse_ops.SparseEll, v: jnp.ndarray,
-       chunk: int = 8192, lo_width: int = 128) -> jnp.ndarray:
+       chunk: Optional[int] = None, lo_width: int = 128,
+       exact: bool = False) -> jnp.ndarray:
     """``M @ v``: (B, n) -> (B, m)."""
-    return mv_many(S, v[:, None], chunk=chunk, lo_width=lo_width)[:, 0]
+    return mv_many(S, v[:, None], chunk=chunk, lo_width=lo_width,
+                   exact=exact)[:, 0]
