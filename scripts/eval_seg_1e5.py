@@ -101,6 +101,7 @@ def main():
         trainer.variables(trainer.load(c))) for c in ckpts]
     labels = ds.labels.reshape(prob.batch, *prob.grid)
 
+    var_results = []          # (name, gaps, agrees) of the FIRST net
     for variant in args.variants.split(","):
         ref_iters, ref_rounds, ref_band = 0, 1, 1
         name = variant
@@ -152,6 +153,22 @@ def main():
             print(f"{name}[best-of-{len(per_net)}]: "
                   f"gap={bg.mean():+.4f} agree={ba.mean():.0f}",
                   flush=True)
+        var_results.append((name,) + per_net[0])
+
+    if len(var_results) > 1:
+        # refine-variant portfolio: per-image best l2f energy across
+        # refinement widths (the oracle side and per-image polish
+        # semantics are shared, so argmin(gap) == argmin(l2f energy)
+        # -- selection uses only the l2f sides' own energies; r3
+        # found refine width is image-dependent and non-monotonic)
+        G = np.stack([g for _, g, _ in var_results])   # (V, B)
+        A = np.stack([a for _, _, a in var_results])
+        pick = G.argmin(axis=0)
+        bg = G[pick, np.arange(G.shape[1])]
+        ba = A[pick, np.arange(A.shape[1])]
+        names = "/".join(n for n, _, _ in var_results)
+        print(f"variant-portfolio[{names}]: gap={bg.mean():+.4f} "
+              f"agree={ba.mean():.0f}", flush=True)
 
 
 if __name__ == "__main__":

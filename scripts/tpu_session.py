@@ -352,6 +352,16 @@ def _run_phase(phases):
              "-checkpoint",
              "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
              "-result_dir", "result_r4"], "attack64_l2f")
+    if "seg_varport" in phases:
+        # per-image refine-variant portfolio (selection from the l2f
+        # sides' own energies; refine width measured image-dependent
+        # and non-monotonic in r3) -- the remaining lever toward the
+        # <=3% 1e5-px target after fine-tune/selection/confidence all
+        # failed to close it
+        run("scripts/eval_seg_1e5.py",
+            ["--variants",
+             "masked,masked+ref10,masked+ref10r2b2,masked+ref20r2b2,"
+             "masked+ref10r3b3,masked+ref15r2b2"], "seg_varport")
     if "seg_conf" in phases:
         # eval-time fix-confidence sweep at the 1e5-px protocol
         # (VERDICT r3 item 3's untried lever: both nets over-fix):
