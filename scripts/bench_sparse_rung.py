@@ -115,6 +115,11 @@ def main():
                          "(ops/ca_sparse): item rows as a small-m ELL "
                          "block, dummy XOR rows as column intervals")
     ap.add_argument("--width-cap", type=int, default=12)
+    ap.add_argument("--perturb", type=int, default=None,
+                    help="add a tiny per-run random vector to b (seed "
+                         "N): makes a repeat run's window requests "
+                         "distinct so the axon dedup cache cannot "
+                         "serve them -- use for warm-cache timing")
     ap.add_argument("--schur", action="store_true",
                     help="Schur-structured G^-1 (ops/struct_ginv): "
                          "diagonal dummy Gram block -> (m1, m1) host "
@@ -267,6 +272,14 @@ def main():
 
     if args.rho_step is not None:
         cfg = cfg.replace(rho_change_step=args.rho_step)
+
+    if args.perturb is not None:
+        # 1e-6-relative price noise: negligible for quality, makes
+        # every window request distinct (axon dedup-cache hazard,
+        # CLAUDE.md) so warm-cache repeat timings are honest
+        pr = np.random.RandomState(args.perturb)
+        noise = 1.0 + 1e-6 * pr.rand(*prob.b.shape).astype(np.float32)
+        prob = prob._replace(b=prob.b * jnp.asarray(noise))
 
     if args.probe:
         # fixed-iteration cost, immune to early-exit luck

@@ -352,6 +352,12 @@ def _run_phase(phases):
              "-checkpoint",
              "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
              "-result_dir", "result_r4"], "attack64_l2f")
+    if "seg_compact2" in phases:
+        # compacted-vs-masked wall re-measure now that the ELL matvecs
+        # ride the (limb-fixed) MXU route on TPU (r3: compact 337s vs
+        # masked 57s on the gather lowering -- VERDICT weak 5)
+        run("scripts/eval_seg_1e5.py",
+            ["--variants", "compact+ref10r2b2"], "seg_compact2")
     if "seg_varport" in phases:
         # per-image refine-variant portfolio (selection from the l2f
         # sides' own energies; refine width measured image-dependent
@@ -395,6 +401,26 @@ def _run_phase(phases):
             ["--rung", "1000x100000", "--batch", "4", "--struct",
              "--schur", "--rho-step", "18", "--cap", "10000",
              "--no-oracle"], "mega_b4_rho18")
+    if "mega_rho2" in phases:
+        # deeper rho frontier at mega (xl held quality to rs12) +
+        # warm-cache repeat of rho18 (the 145.9s wall includes a fresh
+        # compile; --perturb defeats the dedup cache on the repeat)
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "18", "--cap", "10000",
+             "--no-oracle", "--perturb", "1"], "mega_rho18_warm")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "14", "--cap", "7800",
+             "--no-oracle"], "mega_rho14")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "12", "--cap", "6700",
+             "--no-oracle"], "mega_rho12")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "12", "--cap", "6700",
+             "--no-oracle", "--perturb", "2"], "mega_rho12_warm")
     if "dense_mega_refix" in phases:
         # post-limb-fix A/B: the r3 'bf16 3-limb fails at m~2e4' ruling
         # (STATUS 2b) is now suspected to be the astype fold, not limb
