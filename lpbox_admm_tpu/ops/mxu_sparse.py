@@ -105,6 +105,13 @@ def _flat_chunks(idx: jnp.ndarray, payload: jnp.ndarray, chunk: int
     return idx_c, payload_c, NC, T
 
 
+# m at or below this bound uses the DIRECT one-hot form: the full
+# (T, m) one-hot is the dot operand, so no 128-lane spreading tensor
+# (mtv's (T, k*nl*128) f32 gather materialization was 4.5 of the
+# mega iteration's 9.4 ms; MACs at m ~ 1024 are trivial for the MXU).
+SMALL_M_DIRECT = 2048
+
+
 def _auto_chunk(B: int) -> int:
     """Per-chunk temporaries scale with B (the mtv gather's R tensor is
     (B, T, k*nl*128) f32): at B=4 the default T=8192 spilled past VMEM
@@ -112,6 +119,84 @@ def _auto_chunk(B: int) -> int:
     B=1 (struct_schur_b4, r4d).  Scale T down with B to hold the
     footprint roughly constant."""
     return max(1024, 8192 // max(B, 1))
+
+
+def _limbs(x: jnp.ndarray, exact: bool) -> jnp.ndarray:
+    """(…,) -> (…, nl): identity f32 limb (exact) or 3 bf16 limbs."""
+    return x[..., None] if exact else _limbs3(x)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "exact"))
+def _direct_mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
+                     chunk: Optional[int], exact: bool) -> jnp.ndarray:
+    """Small-m gather: one full-width (T, m) one-hot dot per chunk."""
+    B, n, Kc = S.col_idx.shape
+    if chunk is None:
+        chunk = _auto_chunk(B)
+    k = Wk.shape[1]
+    m = S.m
+    Mp = _cdiv(m, 128) * 128
+    nl = 1 if exact else 3
+    oh_dt = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    Wp = Wk.astype(jnp.float32)
+    if Mp > m:
+        Wp = jnp.pad(Wp, ((0, 0), (0, 0), (0, Mp - m)))
+    U = _limbs(Wp, exact)                     # (B, k, Mp, nl)
+    U = U.transpose(0, 2, 1, 3).reshape(B, Mp, k * nl)
+    idx_c, val_c, NC, T = _flat_chunks(S.col_idx, S.col_val, chunk)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mp), 2)
+
+    def step(_, args):
+        idx, val = args                                    # (B, T)
+        oh = (idx[:, :, None] == rows).astype(oh_dt)       # (B, T, Mp)
+        R = jax.lax.dot_general(
+            oh, U, (((2,), (1,)), ((0,), (0,))),
+            precision=prec,
+            preferred_element_type=jnp.float32)            # (B, T, k*nl)
+        g = R.reshape(B, T, k, nl).sum(-1)
+        return None, val[:, :, None] * g
+
+    _, parts = jax.lax.scan(step, None, (idx_c, val_c))    # (NC,B,T,k)
+    flat = parts.transpose(1, 0, 2, 3).reshape(B, NC * T, k)
+    flat = flat[:, : n * Kc]
+    return jnp.sum(flat.reshape(B, n, Kc, k), axis=2).transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "exact"))
+def _direct_mv_many(S: sparse_ops.SparseEll, Vk: jnp.ndarray,
+                    chunk: Optional[int], exact: bool) -> jnp.ndarray:
+    """Small-m scatter: contrib = onehot(idx)^T @ w_limbs per chunk --
+    no lane-spreading Z tensor at all."""
+    B, n, Kc = S.col_idx.shape
+    if chunk is None:
+        chunk = _auto_chunk(B)
+    k = Vk.shape[1]
+    m = S.m
+    Mp = _cdiv(m, 128) * 128
+    nl = 1 if exact else 3
+    oh_dt = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    wk = S.col_val[:, None, :, :] * Vk.astype(jnp.float32)[:, :, :, None]
+    wl = _limbs(wk, exact)              # (B, k, n, Kc, nl)
+    wl = wl.transpose(0, 2, 3, 1, 4)    # (B, n, Kc, k, nl)
+    idx_c, w_c, NC, T = _flat_chunks(
+        S.col_idx, wl.reshape(B, n, Kc, k * nl), chunk)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mp), 2)
+
+    def step(acc, args):
+        idx, w = args                   # (B, T), (B, T, k*nl)
+        oh = (idx[:, :, None] == rows).astype(oh_dt)       # (B, T, Mp)
+        contrib = jax.lax.dot_general(
+            oh, w.astype(oh_dt), (((1,), (1,)), ((0,), (0,))),
+            precision=prec,
+            preferred_element_type=jnp.float32)            # (B,Mp,k*nl)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((B, Mp, k * nl), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (idx_c, w_c))
+    acc = acc.reshape(B, Mp, k, nl).sum(-1)                # limb sum
+    return acc.transpose(0, 2, 1)[:, :, :m]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "exact"))
@@ -125,6 +210,8 @@ def mtv_many(S: sparse_ops.SparseEll, Wk: jnp.ndarray,
     payload f32 and runs the dot at HIGHEST precision (the r4a v1
     semantics: a one-hot row has a single nonzero product, so the
     gather is bit-exact u[i]) -- the mega-scale A/B discriminator."""
+    if S.m <= SMALL_M_DIRECT:
+        return _direct_mtv_many(S, Wk, chunk, exact)
     B, n, Kc = S.col_idx.shape
     if chunk is None:
         chunk = _auto_chunk(B)
@@ -179,6 +266,8 @@ def mv_many(S: sparse_ops.SparseEll, Vk: jnp.ndarray,
     ``lo_width`` trades hi-matrix size against the Z payload width
     (pass a small power of two when m is small).  ``exact=True``: f32
     payload, HIGHEST-precision dot (v1 semantics)."""
+    if S.m <= SMALL_M_DIRECT:
+        return _direct_mv_many(S, Vk, chunk, exact)
     B, n, Kc = S.col_idx.shape
     if chunk is None:
         chunk = _auto_chunk(B)
