@@ -103,29 +103,45 @@ def main():
 
     var_results = []          # (name, gaps, agrees) of the FIRST net
     for variant in args.variants.split(","):
+        import re
+
         ref_iters, ref_rounds, ref_band = 0, 1, 1
+        jitter = None
         name = variant
+        mj = re.search(r"\+j(\d+)", variant)
+        if mj:
+            # multi-start diversity: SOLVE a 1e-5-jittered copy of the
+            # unary cost (a perturbed-init heuristic for the true
+            # problem; chaotic trajectories decorrelate) -- the energy
+            # metric below is always computed on the TRUE problem
+            jitter = int(mj.group(1))
+            variant = variant.replace(mj.group(0), "")
         if "+ref" in variant:
             # syntax: +ref<iters>[r<rounds>][b<band>], e.g. +ref10r2b2
-            import re
             variant, ref = variant.split("+ref")
             mm = re.fullmatch(r"(\d+)(?:r(\d+))?(?:b(\d+))?", ref)
             ref_iters = int(mm.group(1))
             ref_rounds = int(mm.group(2) or 1)
             ref_band = int(mm.group(3) or 1)
+        sprob = prob
+        if jitter is not None:
+            jr = np.random.RandomState(jitter)
+            noise = 1.0 + 1e-5 * jr.randn(*prob.b.shape).astype(
+                np.float32)
+            sprob = prob._replace(b=prob.b * jnp.asarray(noise))
         per_net = []
         for tag, variables in all_variables:
             t0 = time.time()
             if variant == "compact":
                 state = l2f.l2f_solve_compact_qp(
-                    prob, model, variables, cfg, pcfg, ws=args.ws,
+                    sprob, model, variables, cfg, pcfg, ws=args.ws,
                     max_iter=args.max_iter)
             else:
-                state = l2f.l2f_solve(prob, model, variables, cfg,
+                state = l2f.l2f_solve(sprob, model, variables, cfg,
                                       pcfg, ws=args.ws,
                                       max_iter=args.max_iter)
             if ref_iters:
-                state = l2f.qp_refine_boundary(state, prob, cfg,
+                state = l2f.qp_refine_boundary(state, sprob, cfg,
                                                iters=ref_iters,
                                                rounds=ref_rounds,
                                                band=ref_band)

@@ -352,6 +352,15 @@ def _run_phase(phases):
              "-checkpoint",
              "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
              "-result_dir", "result_r4"], "attack64_l2f")
+    if "seg_multistart" in phases:
+        # refine-width x multi-start jitter portfolio (per-image best
+        # l2f energy; energies always evaluated on the TRUE problem)
+        run("scripts/eval_seg_1e5.py",
+            ["--variants",
+             "masked,masked+ref10,masked+ref10r2b2,"
+             "masked+ref10r2b2+j1,masked+ref10r2b2+j2,"
+             "masked+ref10r2b2+j3,masked+ref10+j1,masked+ref10+j2,"
+             "masked+ref10r3b3,masked+ref10r3b3+j1"], "seg_multistart")
     if "seg_compact2" in phases:
         # compacted-vs-masked wall re-measure now that the ELL matvecs
         # ride the (limb-fixed) MXU route on TPU (r3: compact 337s vs
