@@ -352,6 +352,35 @@ def _run_phase(phases):
              "-checkpoint",
              "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
              "-result_dir", "result_r4"], "attack64_l2f")
+    if "struct_direct" in phases:
+        # re-measure the struct route with the small-m DIRECT one-hot
+        # matvecs (the item block's lane-spread gather was 7 of the
+        # mega iteration's 9.4 ms)
+        run("scripts/probe_struct_ops.py",
+            ["--rung", "1000x100000", "--batch", "1"],
+            "probe_struct_direct")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "12", "--cap", "6700",
+             "--no-oracle"], "mega_rho12_direct")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "12", "--cap", "6700",
+             "--no-oracle", "--perturb", "3"], "mega_rho12_direct_warm")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "2000x200000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "12", "--cap", "6700",
+             "--no-oracle"], "struct_2000_rho12")
+    if "struct_10k_direct" in phases:
+        # the 10k rung through struct+Schur+direct: m1=1024, m2=1920 --
+        # candidate to beat the dense stream's 0.12 inst/s
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8", "--struct",
+             "--schur"], "struct_10k_schur")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8", "--struct",
+             "--schur", "--rho-step", "12", "--cap", "6700",
+             "--perturb", "4"], "struct_10k_rho12")
     if "seg_multistart" in phases:
         # refine-width x multi-start jitter portfolio (per-image best
         # l2f energy; energies always evaluated on the TRUE problem)
