@@ -122,6 +122,37 @@ def test_struct_solve_matches_dense():
         < 0.05, (sobj, dobj)
 
 
+def test_mxu_two_stage_paths_match_direct(monkeypatch):
+    """Matrices at m <= SMALL_M_DIRECT route to the direct one-hot
+    form, so the two-stage (hi-tile + lane-select) path -- the one the
+    LARGE-m rungs use -- needs explicit coverage: force it by patching
+    the threshold and compare against the direct path."""
+    from lpbox_admm_tpu.ops import mxu_sparse
+
+    insts, coos, shapes = _ca_coos(seed=2, B=2)
+    S, _ = ca_sparse.build(coos, shapes, 64, width_cap=4, td=32)
+    item = S.item
+    rng = np.random.RandomState(0)
+    Vk = jnp.asarray(rng.randn(2, 3, item.n).astype(np.float32))
+    Wk = jnp.asarray(rng.randn(2, 2, item.m).astype(np.float32))
+    for exact in (False, True):
+        direct_mv = np.asarray(mxu_sparse.mv_many(item, Vk, exact=exact))
+        direct_mtv = np.asarray(mxu_sparse.mtv_many(item, Wk,
+                                                    exact=exact))
+        monkeypatch.setattr(mxu_sparse, "SMALL_M_DIRECT", 0)
+        # distinct chunk: same (shape, static) as the direct call would
+        # HIT ITS JIT CACHE and never trace the two-stage path
+        two_mv = np.asarray(mxu_sparse.mv_many(item, Vk, chunk=64,
+                                               lo_width=16, exact=exact))
+        two_mtv = np.asarray(mxu_sparse.mtv_many(item, Wk, chunk=64,
+                                                 exact=exact))
+        monkeypatch.undo()
+        np.testing.assert_allclose(two_mv, direct_mv, rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(two_mtv, direct_mtv, rtol=1e-5,
+                                   atol=1e-5)
+
+
 def test_limbs3_reconstructs_f32_exactly():
     """3 bf16 limbs carry 24 explicit mantissa bits -- reconstruction
     must be BIT-exact for f32 inputs.  The rounding goes through
