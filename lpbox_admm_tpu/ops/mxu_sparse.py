@@ -105,10 +105,13 @@ def _flat_chunks(idx: jnp.ndarray, payload: jnp.ndarray, chunk: int
     return idx_c, payload_c, NC, T
 
 
-# m at or below this bound uses the DIRECT one-hot form: the full
-# (T, m) one-hot is the dot operand, so no 128-lane spreading tensor
-# (mtv's (T, k*nl*128) f32 gather materialization was 4.5 of the
-# mega iteration's 9.4 ms; MACs at m ~ 1024 are trivial for the MXU).
+# m at or below this bound uses the DIRECT one-hot form FOR THE
+# GATHER (mtv) only: the full (T, m) one-hot is the dot operand, so
+# the (T, k*nl*128) f32 lane-spread tensor disappears (item mtv
+# 4.46 -> 2.76 ms at the mega rung).  The scatter (mv) measured the
+# OPPOSITE (2.55 -> 4.90 ms: contracting the one-hot over the T axis
+# makes XLA materialize its transpose), so mv always keeps the
+# two-stage hi/lo form.  Probe lineage: logs/tpu_r4{e,f}.log.
 SMALL_M_DIRECT = 2048
 
 
@@ -266,8 +269,6 @@ def mv_many(S: sparse_ops.SparseEll, Vk: jnp.ndarray,
     ``lo_width`` trades hi-matrix size against the Z payload width
     (pass a small power of two when m is small).  ``exact=True``: f32
     payload, HIGHEST-precision dot (v1 semantics)."""
-    if S.m <= SMALL_M_DIRECT:
-        return _direct_mv_many(S, Vk, chunk, exact)
     B, n, Kc = S.col_idx.shape
     if chunk is None:
         chunk = _auto_chunk(B)

@@ -136,7 +136,11 @@ def test_mxu_two_stage_paths_match_direct(monkeypatch):
     Vk = jnp.asarray(rng.randn(2, 3, item.n).astype(np.float32))
     Wk = jnp.asarray(rng.randn(2, 2, item.m).astype(np.float32))
     for exact in (False, True):
-        direct_mv = np.asarray(mxu_sparse.mv_many(item, Vk, exact=exact))
+        # mv routes two-stage at every m (the direct scatter measured
+        # slower on chip, r4f); call the direct form explicitly so
+        # both scatter forms stay parity-covered
+        direct_mv = np.asarray(mxu_sparse._direct_mv_many(
+            item, Vk, None, exact))
         direct_mtv = np.asarray(mxu_sparse.mtv_many(item, Wk,
                                                     exact=exact))
         monkeypatch.setattr(mxu_sparse, "SMALL_M_DIRECT", 0)
