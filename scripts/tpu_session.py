@@ -371,6 +371,27 @@ def _run_phase(phases):
             ["--rung", "2000x200000", "--batch", "1", "--struct",
              "--schur", "--rho-step", "12", "--cap", "6700",
              "--no-oracle"], "struct_2000_rho12")
+    if "mega_final" in phases:
+        # asymmetric routing (direct gather + two-stage scatter):
+        # cold compile, then the perturbed warm measure; rs10 pushes
+        # the rho frontier one step further
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "12", "--cap", "6700",
+             "--no-oracle"], "mega_rho12_asym")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "12", "--cap", "6700",
+             "--no-oracle", "--perturb", "5"], "mega_rho12_asym_warm")
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "10", "--cap", "5600",
+             "--no-oracle", "--perturb", "6"], "mega_rho10")
+    if "xl_repeat" in phases:
+        # chaos-variance check of the new xl frontier row
+        run("scripts/bench_ladder.py",
+            ["--rungs", "800x4000", "--solvers",
+             "stream-bf16-rs12-c4400-rep"], "xl_rs12_repeat")
     if "struct_10k_direct" in phases:
         # the 10k rung through struct+Schur+direct: m1=1024, m2=1920 --
         # candidate to beat the dense stream's 0.12 inst/s
