@@ -371,6 +371,13 @@ def _run_phase(phases):
             ["--rung", "2000x200000", "--batch", "1", "--struct",
              "--schur", "--rho-step", "12", "--cap", "6700",
              "--no-oracle"], "struct_2000_rho12")
+    if "stream_10k_rho12" in phases:
+        # the dense stream kernel (the 10k rung's best path) with the
+        # rho-schedule cut that bought the xl rung 161x
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x10000", "--batch", "8", "--dense",
+             "--stream", "--rho-step", "12", "--cap", "6700"],
+            "stream_10k_rho12")
     if "mega_final" in phases:
         # asymmetric routing (direct gather + two-stage scatter):
         # cold compile, then the perturbed warm measure; rs10 pushes
