@@ -183,6 +183,8 @@ def main():
             for part in s.split("-")[1:]:
                 if part == "bf16":
                     cfg_b = cfg_b.replace(matvec_dtype="bfloat16")
+                elif part.startswith("rs"):
+                    cfg_b = cfg_b.replace(rho_change_step=int(part[2:]))
                 elif part.startswith("s"):
                     cfg_b = cfg_b.replace(incumbent_stride=int(part[1:]))
                 elif part.startswith("c"):
@@ -242,19 +244,26 @@ def main():
             if not s.startswith("fused-bf16"):
                 continue
             bt16 = pallas_lp.auto_bt(B, m, n, e_bytes=2)
+            cfg_f = LP_CONFIG.replace(linsolve="woodbury",
+                                      matvec_dtype="bfloat16")
+            cap_f = None
             for part in s.split("-")[2:]:
-                if part.startswith("b"):
+                if part.startswith("rs"):
+                    cfg_f = cfg_f.replace(rho_change_step=int(part[2:]))
+                elif part.startswith("b"):
                     bt16 = int(part[1:])
+                elif part.startswith("c"):
+                    cap_f = int(part[1:])
             if bt16 < 1:
                 print(f"{s}: no VMEM-resident block fits; skipped",
                       flush=True)
                 continue
             runs.append(
                 (f"pallas-{s}(bt={bt16})",
-                 lambda p, b16=bt16: pallas_lp.solve_fused(
-                     p, LP_CONFIG.replace(linsolve="woodbury",
-                                          matvec_dtype="bfloat16"),
-                     window=100, bt=b16)))
+                 lambda p, b16=bt16, c=cfg_f, mi=cap_f:
+                 pallas_lp.solve_fused(
+                     p, c, window=100, bt=b16,
+                     **({} if mi is None else {"max_iters": mi}))))
         bt = pallas_lp.auto_bt(B, m, n)
         if "fused" in solvers and bt > 0:
             runs.append((f"pallas-fused(bt={bt})",

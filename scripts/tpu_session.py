@@ -371,6 +371,17 @@ def _run_phase(phases):
             ["--rung", "2000x200000", "--batch", "1", "--struct",
              "--schur", "--rho-step", "12", "--cap", "6700",
              "--no-oracle"], "struct_2000_rho12")
+    if "mid_rho" in phases:
+        # the rho cut applied to the mid rungs' best paths (xl took
+        # 161-173x from it; quality guard = gap0 vs the f64 oracle)
+        run("scripts/bench_ladder.py",
+            ["--rungs", "200x1000", "--solvers",
+             "fused-bf16-rs12-c6700,fused-bf16-rs16-c8600"],
+            "mid_rho_200")
+        run("scripts/bench_ladder.py",
+            ["--rungs", "300x1500", "--solvers",
+             "blocked-bf16-rs12-c6700,blocked-bf16-rs16-c8600"],
+            "mid_rho_300")
     if "stream_10k_rho12" in phases:
         # the dense stream kernel (the 10k rung's best path) with the
         # rho-schedule cut that bought the xl rung 161x
