@@ -226,7 +226,7 @@ def jax_block(tree):
 
 def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
               fix_confidence=0.98, fix_windows=2, max_iter=10000,
-              policy_windows=3, damage_gate=0.25):
+              policy_windows=3, damage_gate=0.25, tail_rho_step=None):
     """Learned-early-fixing benchmark using the trained CA-500 MHA
     checkpoint (scripts/train_ca500_policy.py), if present.
 
@@ -277,7 +277,8 @@ def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
                                    rho_boost_iters=rho_boost_iters,
                                    max_iter=max_iter,
                                    repair_rounds=REPAIR_ROUNDS,
-                                   swap_rounds=SWAP_ROUNDS)
+                                   swap_rounds=SWAP_ROUNDS,
+                                   tail_rho_step=tail_rho_step)
     np.asarray(out["solution"])
     log(f"l2f: first solve (incl. compile): {time.time()-t0:.1f}s")
     # perturb a data input (NOT cfg -- static args recompile) to defeat
@@ -294,14 +295,16 @@ def bench_l2f(prob, plain_objs, rho_boost_iters=5000,
                                    max_iter=max_iter,
                                    repair_rounds=REPAIR_ROUNDS,
                                    swap_rounds=SWAP_ROUNDS,
-                                   timings=tm)
+                                   timings=tm,
+                                   tail_rho_step=tail_rho_step)
     np.asarray(out["solution"])        # host fetch = full sync
     wall = time.time() - t0
     objs = np.asarray(out["obj"])
     gap = (objs - plain_objs) / np.abs(plain_objs)
     fixed = np.asarray(out["n_fixed"])
     infeas = np.asarray(out["infeasible"])
-    log(f"l2f(K={rho_boost_iters}): wall={wall:.2f}s "
+    tag = f"K={rho_boost_iters}" + ("" if tail_rho_step is None else f",rs{tail_rho_step}")
+    log(f"l2f({tag}): wall={wall:.2f}s "
         f"it={int(out['iterations'])} "
         f"obj_gap mean={gap.mean():+.4f} max={gap.max():+.4f} "
         f"fixed={fixed.mean():.0f} vars/instance "
@@ -369,6 +372,18 @@ def main():
 
     best_ips = max(xla_ips, fused_ips)
     l2f_res = bench_l2f(prob, objs)
+    # tail-only rho cut (the lever that carried the xl/mega rungs to
+    # 161-173x / 18.9x): policy phase keeps the reference schedule its
+    # training trajectories used; headline-eligible under the same
+    # quality bar as the default row
+    l2f_rs = bench_l2f(prob, objs, tail_rho_step=12)
+    if l2f_rs is not None:
+        rs_ips, rs_mean, rs_max, rs_inf = l2f_rs[:4]
+        if rs_mean <= 0.03 and rs_inf == 0:
+            best_ips = max(best_ips, rs_ips)
+        else:
+            log(f"l2f-rs12 excluded from headline (gap {rs_mean:+.4f}, "
+                f"infeas {rs_inf})")
     # headline = best path meeting the quality bar: l2f counts when its
     # mean obj gap vs the plain solve is <= 3% with no infeasibilities
     # (the reference's whole point is l2f beating plain; VERDICT r1)

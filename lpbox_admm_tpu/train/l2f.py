@@ -590,10 +590,11 @@ def _finalize(state, idx_map, fixed_full, free_full, orig_prob,
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "n_new", "m_new", "rho_boost", "max_iter", "ws", "bt",
-    "fused", "interpret", "repair_rounds", "swap_rounds"))
+    "fused", "interpret", "repair_rounds", "swap_rounds",
+    "cfg_changed"))
 def _tail_phase(state, orig_prob, cfg, n_new, m_new, rho_boost,
                 max_iter, ws, bt, fused, interpret, repair_rounds=0,
-                swap_rounds=0):
+                swap_rounds=0, cfg_changed=False):
     """Everything after the policy-phase fetch in ONE executable:
     compaction, rho fast-forward, n-side factorization, residual solve
     (fused kernel or XLA windows) and scatter + incumbent selection.
@@ -609,6 +610,10 @@ def _tail_phase(state, orig_prob, cfg, n_new, m_new, rho_boost,
     if n_new < n_full or m_new < prob.m:
         state, prob, idx_map = lp.compact(state, prob, cfg, n_new,
                                           m_new=m_new)
+    elif cfg_changed and not rho_boost:
+        # a tail-only rho schedule changes rho_at(it): the carried
+        # E^T w product was built under the policy phase's schedule
+        state = lp.refresh_et_next(state, prob, cfg)
     if rho_boost:
         # OPTIONAL acceleration beyond the reference: the residual
         # (the policy's leftover hard variables) only binarizes once
@@ -655,8 +660,17 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
                       repair_rounds: int = 0,
                       swap_rounds: int = 0,
                       timings: Optional[dict] = None,
-                      variables2=None):
+                      variables2=None,
+                      tail_rho_step: Optional[int] = None):
     """LP l2f solve with bucketed physical compaction.
+
+    ``tail_rho_step``: optional rho_change_step for the RESIDUAL phase
+    only (the policy phase keeps the reference schedule its training
+    trajectories used).  The residual binarizes once rho is large, so
+    a faster tail schedule converges in fewer iterations -- the same
+    lever that carried the xl/mega rungs to 161-173x / 18.9x
+    (ladder.json r4); quality must be re-validated per operating
+    point.
 
     TWO dispatches, one host round trip between them (per-dispatch
     latency is a first-order cost over remote TPU links):
@@ -761,14 +775,17 @@ def l2f_solve_compact(prob, model, variables, cfg: SolverConfig,
     nside = n_b <= m_b
     bt = auto_bt(B, m_b, n_b, nside=nside) if fuse else 0
     state0 = state
+    cfg_tail = cfg if tail_rho_step is None \
+        else cfg.replace(rho_change_step=tail_rho_step)
     for attempt in (1, 2, 3):
         fused = fuse and bt > 0 and attempt < 3
         try:
             state, sol_full, obj, obj_last, infeas, n_fixed = \
-                _tail_phase(state0, prob, cfg, n_b, m_b,
+                _tail_phase(state0, prob, cfg_tail, n_b, m_b,
                             rho_boost_iters, max_iter, ws, bt, fused,
                             interpret, repair_rounds=repair_rounds,
-                            swap_rounds=swap_rounds)
+                            swap_rounds=swap_rounds,
+                            cfg_changed=cfg_tail is not cfg)
             if timings is not None:
                 timings["residual_path"] = (
                     f"fused(bt={bt},nside={nside})" if fused else "xla")
