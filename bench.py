@@ -376,10 +376,17 @@ def main():
     # 161-173x / 18.9x): policy phase keeps the reference schedule its
     # training trajectories used; headline-eligible under the same
     # quality bar as the default row
-    l2f_rs = bench_l2f(prob, objs, tail_rho_step=12)
+    # the rho fast-forward must be rescaled with the schedule: K=5000
+    # at rs25 lands the tail at rho ~ 25*1.01^200; the same K at rs12
+    # would land at 1.01^416 (measured: mean gap flipped to +1.7%, max
+    # +12.9%).  K=2400 = 5000*12/25 reproduces the operating rho.
+    l2f_rs = bench_l2f(prob, objs, tail_rho_step=12,
+                       rho_boost_iters=2400)
     if l2f_rs is not None:
         rs_ips, rs_mean, rs_max, rs_inf = l2f_rs[:4]
-        if rs_mean <= 0.03 and rs_inf == 0:
+        # stricter gate than the default row: the headline's story is
+        # "l2f beats the plain solve's own mean objective"
+        if rs_mean <= 0.0 and rs_inf == 0:
             best_ips = max(best_ips, rs_ips)
         else:
             log(f"l2f-rs12 excluded from headline (gap {rs_mean:+.4f}, "
