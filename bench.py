@@ -380,8 +380,12 @@ def main():
     # at rs25 lands the tail at rho ~ 25*1.01^200; the same K at rs12
     # would land at 1.01^416 (measured: mean gap flipped to +1.7%, max
     # +12.9%).  K=2400 = 5000*12/25 reproduces the operating rho.
+    # cap rescaled too: the tail runs cap-bound (the dual stop rarely
+    # fires for every instance in a block), so the wall is
+    # (cap - boost) iterations; 5000 lands the same rho endpoint as
+    # the default row's 10000 under rs12
     l2f_rs = bench_l2f(prob, objs, tail_rho_step=12,
-                       rho_boost_iters=2400)
+                       rho_boost_iters=2400, max_iter=5000)
     if l2f_rs is not None:
         rs_ips, rs_mean, rs_max, rs_inf = l2f_rs[:4]
         # stricter gate than the default row: the headline's story is
