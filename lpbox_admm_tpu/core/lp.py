@@ -522,7 +522,8 @@ def solve_window(state: LpState, prob: LpProblem, cfg: SolverConfig,
 
 
 def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
-              cfg: SolverConfig, min_fix: Optional[int] = None) -> LpState:
+              cfg: SolverConfig, min_fix: Optional[int] = None,
+              ginv=None) -> LpState:
     """Fix variables per decision vector ``vec`` (mask-based shrink).
 
     ``vec`` is (B, n) with +1 (fix to 1), 0 (fix to 0), -1 (leave free),
@@ -530,6 +531,13 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
     :1136-1149).  Only currently-free variables can be fixed.  Per
     instance, if the number of newly fixed variables is <= ``min_fix``
     the whole round is skipped (trainer.py:533-535).
+
+    ``ginv``: optional caller-refactorized Woodbury inverse for the
+    POST-fix free mask -- dense (B, m, m) or a StructGinv.  Required
+    for structured inverses (the in-jit refactorize only builds dense
+    Grams); the host driver mirrors the newly/do decision, rebuilds
+    the Schur blocks on host (seconds -- ops/struct_ginv), and passes
+    it here.  The per-instance ``do`` skip still merges old-vs-new.
 
     Equivalence to the reference's physical shrink (:1124-1335): with
     free mask m and fixed values v, the reduced problem
@@ -565,13 +573,22 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
 
     ex = _emv("bmn,bn->bm", prob.E, free_f * state.x)
     ex = jnp.where(do[:, None], ex, state.ex)
-    if cfg.linsolve == "woodbury":
+    if ginv is not None:
+        # caller-refactorized inverse (host Schur rebuild for struct
+        # problems, or any precomputed dense inverse): merge per the
+        # per-instance skip decision
+        ginv = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                do.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+            ginv, state.ginv)
+    elif cfg.linsolve == "woodbury":
         if _is_struct_ginv(state.ginv):
             raise NotImplementedError(
-                "early fixing with a Schur-structured G^-1 would need a "
-                "structured refactorization (the fix event changes the "
-                "free-column Gram); run the struct-mega rungs without "
-                "apply_fix, or pass a dense host ginv")
+                "early fixing with a Schur-structured G^-1 needs a "
+                "caller-refactorized inverse: mirror the newly/do "
+                "decision on host, rebuild via ops/struct_ginv."
+                "build_struct_ginv(free=...), and pass it as "
+                "apply_fix(..., ginv=new_ginv)")
         # f32 cast mirrors init_state: G^-1 in bf16 was measured to
         # cost up to 30% objective; guard against a bf16 problem view
         # ever reaching this refactorization (round-2 ADVICE)
@@ -589,6 +606,27 @@ def apply_fix(state: LpState, prob: LpProblem, vec: jnp.ndarray,
     )
     # f_eff/ex changed -> the carried E^T w product is stale
     return refresh_et_next(ns, prob, cfg)
+
+
+def fix_decision_host(state: LpState, vec, cfg: SolverConfig,
+                      min_fix: Optional[int] = None):
+    """Host mirror of apply_fix's newly/do decision.
+
+    Returns numpy ``(do, new_free)``: which instances will actually
+    fix this round and the post-fix free mask -- what a host-side
+    refactorization (ops/struct_ginv.build_struct_ginv(free=...))
+    needs BEFORE calling ``apply_fix(..., ginv=...)``."""
+    import numpy as np
+
+    if min_fix is None:
+        min_fix = cfg.min_fix
+    free = np.asarray(state.free)
+    done = np.asarray(state.done)
+    v = np.asarray(vec)
+    want = free & (v >= 0.0) & ~done[:, None]
+    do = want.sum(-1) > min_fix
+    newly = want & do[:, None]
+    return do, free & ~newly
 
 
 def rule_fix_vec(state: LpState, cfg: SolverConfig) -> jnp.ndarray:

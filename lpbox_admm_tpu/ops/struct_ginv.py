@@ -28,7 +28,7 @@ approximation anywhere.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,10 +73,15 @@ def build_struct_ginv(
     shapes: Sequence[Tuple[int, int]],
     row_maps: Sequence[np.ndarray],
     m1p: int, m2p: int, n: int, ratio: float,
+    free: Optional[np.ndarray] = None,
 ) -> StructGinv:
     """Host-side build from per-instance COO triplets in the SAME
     struct layout as ``ca_sparse.build`` (``row_maps`` comes from it:
     original row -> struct row, items then dummies).
+
+    ``free``: optional (B, n) bool mask -- the Gram uses only free
+    columns (the early-fixing refactorization; core/lp.apply_fix takes
+    the result via its ``ginv=`` argument).
 
     Asserts the dummy block really is diagonal (disjoint supports) --
     the struct detector guarantees it, this guards layout drift.
@@ -90,8 +95,11 @@ def build_struct_ginv(
     dinv = np.zeros((B, m2p), np.float32)
     for b, ((r, c, v), rm) in enumerate(zip(coos, row_maps)):
         sr = rm[np.asarray(r)]
-        C = sp.csr_matrix((np.asarray(v, np.float64),
-                           (sr, np.asarray(c))), shape=(m1p + m2p, n))
+        v = np.asarray(v, np.float64)
+        if free is not None:
+            v = v * np.asarray(free[b], np.float64)[np.asarray(c)]
+        C = sp.csr_matrix((v, (sr, np.asarray(c))),
+                          shape=(m1p + m2p, n))
         C1, C2 = C[:m1p], C[m1p:]
         G22 = (C2 @ C2.T).tocoo()
         off = G22.row != G22.col

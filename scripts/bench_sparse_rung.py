@@ -115,6 +115,12 @@ def main():
                          "(ops/ca_sparse): item rows as a small-m ELL "
                          "block, dummy XOR rows as column intervals")
     ap.add_argument("--width-cap", type=int, default=12)
+    ap.add_argument("--rule-fix", action="store_true",
+                    help="rule-based early fixing (ADMM_lp_iters_fix "
+                         "semantics) with HOST-side Schur "
+                         "refactorization at fix events (struct+schur "
+                         "only; each event costs one build_struct_ginv "
+                         "-- seconds)")
     ap.add_argument("--perturb", type=int, default=None,
                     help="add a tiny per-run random vector to b (seed "
                          "N): makes a repeat run's window requests "
@@ -310,10 +316,40 @@ def main():
         return
 
     t0 = time.time()
-    state, iters = lp.solve_blocked(prob, cfg, block=min(8, args.batch),
-                                    window=args.window,
-                                    max_iters=args.cap, gram=gram,
-                                    ginv=ginv, stream=args.stream)
+    if args.rule_fix:
+        # rule-based early fixing (ADMM_lp_iters_fix, reference
+        # :1856-1871) with host-side Schur refactorization: fix
+        # events are host round-trip points in the windowed driver,
+        # and build_struct_ginv costs seconds
+        assert args.struct and args.schur, "--rule-fix needs --struct --schur"
+        from lpbox_admm_tpu.ops.struct_ginv import build_struct_ginv
+        state = lp.init_state(prob, cfg, ginv=ginv)
+        it, n_events = 0, 0
+        E = prob.E
+        while it < args.cap:
+            state, _ = lp.solve_window(
+                state, prob, cfg, args.window, record=False,
+                skip_cvg_at=0 if it == 0 else None, rule_fixing=True)
+            it = int(state.it)
+            if bool(np.asarray(state.done).all()):
+                break
+            vec = lp.rule_fix_vec(state, cfg)
+            do, new_free = lp.fix_decision_host(state, vec, cfg)
+            if do.any():
+                sg = build_struct_ginv(coos, shp, row_maps, E.m1,
+                                       E.m2, prob.n, ratio=2.0,
+                                       free=new_free)
+                state = lp.apply_fix(state, prob, vec, cfg, ginv=sg)
+                n_events += 1
+        iters = [it]
+        print(f"rule-fix events: {n_events}; free vars left "
+              f"{int(np.asarray(state.free).sum(-1).mean())}/{prob.n}",
+              flush=True)
+    else:
+        state, iters = lp.solve_blocked(
+            prob, cfg, block=min(8, args.batch), window=args.window,
+            max_iters=args.cap, gram=gram, ginv=ginv,
+            stream=args.stream)
     sol, obj, infeas = lp.select_solution(prob, lp.solution(state),
                                           lp.solution_best(state))
     obj = np.asarray(obj)

@@ -230,6 +230,69 @@ def test_struct_solve_with_schur_ginv():
         / (abs(obj_s.mean()) + 1.0) < 0.05, (obj_b, obj_s)
 
 
+def test_struct_refactorize_masked_inverse_exact():
+    """build_struct_ginv(free=...) must equal the dense inverse of
+    ``ratio I + C_free C_free^T`` -- the algebra behind host-side
+    early-fix refactorization on the struct path."""
+    from lpbox_admm_tpu.ops.struct_ginv import build_struct_ginv
+
+    insts, coos, shapes = _ca_coos(seed=9, B=2)
+    sprob, row_maps = ca.make_struct_problem(insts)
+    E = sprob.E
+    rng = np.random.RandomState(3)
+    free = rng.rand(2, sprob.n) > 0.4          # arbitrary fix pattern
+    sg = build_struct_ginv(coos, shapes, row_maps, E.m1, E.m2,
+                           sprob.n, ratio=2.0, free=free)
+    masked = [(r, c, v * free[b][c]) for b, (r, c, v)
+              in enumerate(coos)]
+    dense = _host_gram_ginv(masked, shapes, row_maps, sprob.m, sprob.n)
+    r = rng.randn(2, sprob.m).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sg.apply(jnp.asarray(r))),
+                               np.einsum("bmk,bk->bm", dense, r),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_struct_apply_fix_host_refactorize_mechanics():
+    """apply_fix(ginv=StructGinv) merges the caller's refactorized
+    inverse per the per-instance skip decision, the host decision
+    mirror matches the device mask, and the post-fix solve stays
+    finite and feasible."""
+    from lpbox_admm_tpu.ops.struct_ginv import build_struct_ginv
+
+    insts, coos, shapes = _ca_coos(seed=9, B=2)
+    sprob, row_maps = ca.make_struct_problem(insts)
+    E = sprob.E
+    cfg = LP_CONFIG.replace(linsolve="woodbury", min_fix=0)
+    sg = build_struct_ginv(coos, shapes, row_maps, E.m1, E.m2,
+                           sprob.n, ratio=2.0)
+    st = lp.init_state(sprob, cfg, ginv=sg)
+    st, _ = lp.solve_window(st, sprob, cfg, 300, record=False,
+                            skip_cvg_at=0)
+    # force a fix round: fix every variable whose iterate is extreme
+    x = np.asarray(st.x)
+    vec = np.where(x > 0.95, 1.0, np.where(x < 0.05, 0.0, -1.0)
+                   ).astype(np.float32)
+    vec = np.where(np.asarray(sprob.var_mask), vec, -1.0)
+    do, new_free = lp.fix_decision_host(st, vec, cfg)
+    assert do.any(), "fixture must fix something"
+    sg2 = build_struct_ginv(coos, shapes, row_maps, E.m1, E.m2,
+                            sprob.n, ratio=2.0, free=new_free)
+    st = lp.apply_fix(st, sprob, jnp.asarray(vec), cfg, ginv=sg2)
+    np.testing.assert_array_equal(np.asarray(st.free), new_free)
+    # merged ginv leaves: instances that fixed carry sg2's blocks
+    for new, merged in zip(sg2, st.ginv):
+        got = np.asarray(merged)[do]
+        np.testing.assert_array_equal(got, np.asarray(new)[do])
+    it = int(st.it)
+    while it < 6000 and not bool(np.asarray(st.done).all()):
+        st, _ = lp.solve_window(st, sprob, cfg, 500, record=False)
+        it = int(st.it)
+    _, obj, infeas = lp.select_solution(sprob, lp.solution(st),
+                                        lp.solution_best(st))
+    assert np.all(np.isfinite(np.asarray(obj)))
+    assert int(np.asarray(infeas).sum()) == 0
+
+
 def test_struct_first_window_matches_dense_pointwise():
     """Before chaos sets in (20 iterations) the struct matvec path must
     track the dense x iterates pointwise -- catches any layout or
