@@ -405,6 +405,13 @@ def _run_phase(phases):
             ["--rung", "1000x100000", "--batch", "1", "--struct",
              "--schur", "--rho-step", "10", "--cap", "5600",
              "--no-oracle", "--perturb", "6"], "mega_rho10")
+    if "mega_rulefix" in phases:
+        # rule-based early fixing (ADMM_lp_iters_fix) at the mega rung
+        # with host-side Schur refactorization at each fix event
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rule-fix", "--cap", "20000",
+             "--no-oracle"], "mega_rulefix")
     if "xl_repeat" in phases:
         # chaos-variance check of the new xl frontier row
         run("scripts/bench_ladder.py",
