@@ -405,6 +405,36 @@ def _run_phase(phases):
             ["--rung", "1000x100000", "--batch", "1", "--struct",
              "--schur", "--rho-step", "10", "--cap", "5600",
              "--no-oracle", "--perturb", "6"], "mega_rho10")
+    if "seg_scratch" in phases:
+        # from-scratch 1e5-px policy (every r3/r4 attempt fine-tuned
+        # the 1e4-px net and over-fixed; training AT the target
+        # resolution is the untried training-time lever), selection
+        # under full test semantics; eval with the variant portfolio
+        run("experiments/run_seg.py",
+            ["-phase", "train", "-num_nodes", "100000",
+             "-train_image_list",
+             "0,1,4,5,6,7,8,9,10,12,13,15,18,19,20,22",
+             "-image_list", "26,28,30,31,35,36,37,38",
+             "-num_epochs", "12",
+             "-eval_semantics", "full",
+             "-refine_iters", "10", "-refine_rounds", "2",
+             "-refine_band", "2",
+             "-save_dir", "checkpoints_r4/seg_mha_1e5"], "seg_scratch")
+        run("scripts/eval_seg_1e5.py",
+            ["--variants",
+             "masked,masked+ref10,masked+ref10r2b2,masked+ref20r2b2,"
+             "masked+ref10r3b3,masked+ref15r2b2",
+             "--checkpoint",
+             "checkpoints_r4/seg_mha_1e5/checkpoint/"
+             "best_checkpoint.npz"], "seg_scratch_eval")
+        # two-net x variant portfolio: shipped + scratch
+        run("scripts/eval_seg_1e5.py",
+            ["--variants", "masked+ref10r2b2,masked+ref10,"
+             "masked+ref10r3b3",
+             "--checkpoint",
+             "checkpoints/seg_mha/checkpoint/best_checkpoint.npz,"
+             "checkpoints_r4/seg_mha_1e5/checkpoint/"
+             "best_checkpoint.npz"], "seg_scratch_port")
     if "mega_rulefix" in phases:
         # rule-based early fixing (ADMM_lp_iters_fix) at the mega rung
         # with host-side Schur refactorization at each fix event
