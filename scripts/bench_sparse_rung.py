@@ -121,6 +121,14 @@ def main():
                          "refactorization at fix events (struct+schur "
                          "only; each event costs one build_struct_ginv "
                          "-- seconds)")
+    ap.add_argument("--rule-fix-start", type=int, default=0,
+                    help="first iteration at which rule fixes apply: "
+                         "at mega scale the raw counters trip for "
+                         "nearly every variable by iteration 500 and "
+                         "fix the whole problem infeasibly (measured: "
+                         "116 violated rows); delaying to ~half the "
+                         "convergence horizon keeps only settled "
+                         "variables")
     ap.add_argument("--perturb", type=int, default=None,
                     help="add a tiny per-run random vector to b (seed "
                          "N): makes a repeat run's window requests "
@@ -333,6 +341,8 @@ def main():
             it = int(state.it)
             if bool(np.asarray(state.done).all()):
                 break
+            if it < args.rule_fix_start:
+                continue
             vec = lp.rule_fix_vec(state, cfg)
             do, new_free = lp.fix_decision_host(state, vec, cfg)
             if do.any():

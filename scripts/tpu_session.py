@@ -442,6 +442,14 @@ def _run_phase(phases):
             ["--rung", "1000x100000", "--batch", "1", "--struct",
              "--schur", "--rule-fix", "--cap", "20000",
              "--no-oracle"], "mega_rulefix")
+    if "mega_rulefix2" in phases:
+        # delayed start: only settled variables fix (the raw counters
+        # fixed everything infeasibly by iteration 1500)
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rule-fix", "--rule-fix-start", "7000",
+             "--cap", "20000", "--no-oracle", "--perturb", "7"],
+            "mega_rulefix_s7000")
     if "xl_repeat" in phases:
         # chaos-variance check of the new xl frontier row
         run("scripts/bench_ladder.py",
