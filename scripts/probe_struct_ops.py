@@ -108,6 +108,15 @@ def main():
     timeit("schur ginv apply  ", sg.apply, rm,
            lambda y, c: c * 0.999 + 1e-3 * y)
 
+    # lo-width sweep of the item scatter (two-stage form): W trades
+    # the Z payload width against the hi-matrix height
+    for w in (8, 16, 32, 64):
+        timeit(f"item mv W={w:<3}      ",
+               functools.partial(mxu_sparse.mv_many, E.item,
+                                 lo_width=w, exact=args.exact),
+               vn2, lambda y, c: c * 0.999 + 1e-3 * jnp.pad(
+                   y, ((0, 0), (0, 0), (0, n - E.m1)))[:, :, :n])
+
     # dummy-block share = full minus item (same one-hot structure)
     print("(dummy block = full - item at each direction)", flush=True)
 

@@ -435,6 +435,11 @@ def _run_phase(phases):
              "checkpoints/seg_mha/checkpoint/best_checkpoint.npz,"
              "checkpoints_r4/seg_mha_1e5/checkpoint/"
              "best_checkpoint.npz"], "seg_scratch_port")
+    if "mega_rho10_warm" in phases:
+        run("scripts/bench_sparse_rung.py",
+            ["--rung", "1000x100000", "--batch", "1", "--struct",
+             "--schur", "--rho-step", "10", "--cap", "5600",
+             "--no-oracle", "--perturb", "8"], "mega_rho10_warm")
     if "mega_rulefix" in phases:
         # rule-based early fixing (ADMM_lp_iters_fix) at the mega rung
         # with host-side Schur refactorization at each fix event
