@@ -160,6 +160,17 @@ def test_l2f_compact_fused_nside_end_to_end():
     assert np.all(gap < 0.06), (o_f, o_x)
     assert set(np.unique(np.asarray(out_f["solution"]))) <= {0.0, 1.0}
 
+    # tail-only rho cut (bench's rs12 headline row): schedule and cap
+    # rescaled together; converged objectives must stay within a few %
+    _, out_rs = l2f_solve_compact(p, model, variables, cfg, pcfg,
+                                  ws=100, max_iter=2000, min_bucket=32,
+                                  use_fused=False, scorer="model",
+                                  tail_rho_step=12)
+    o_rs = np.asarray(out_rs["obj"])
+    gap_rs = np.abs(o_rs - o_x) / np.abs(o_x)
+    assert np.all(gap_rs < 0.08), (o_rs, o_x)
+    assert int(out_rs["iterations"]) <= 2100
+
 
 def _big_problem(B=2, m=512, n=512, seed=0):
     """Shape large enough that lp_window_fused picks the chunked
