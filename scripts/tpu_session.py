@@ -479,6 +479,14 @@ def _run_phase(phases):
              "masked+ref10r2b2+j1,masked+ref10r2b2+j2,"
              "masked+ref10r2b2+j3,masked+ref10+j1,masked+ref10+j2,"
              "masked+ref10r3b3,masked+ref10r3b3+j1"], "seg_multistart")
+    if "seg_compact_warm" in phases:
+        # cold-vs-warm A/B in one process: the +j1 jitter makes the
+        # second run's inputs distinct (dedup hazard) while every jit
+        # executable is already compiled -- separates compile cost
+        # from execution cost in the 251s compact wall
+        run("scripts/eval_seg_1e5.py",
+            ["--variants", "compact+ref10r2b2,compact+ref10r2b2+j1"],
+            "seg_compact_warm")
     if "seg_compact2" in phases:
         # compacted-vs-masked wall re-measure now that the ELL matvecs
         # ride the (limb-fixed) MXU route on TPU (r3: compact 337s vs
