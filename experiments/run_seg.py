@@ -118,7 +118,9 @@ def main():
     cfg = SEG_CONFIG
     pcfg = PolicyConfig(net=args.net, node_size=5, chunk_dim=5,
                         window_mode="sliding",
-                        damage_gate=args.damage_gate)
+                        damage_gate=args.damage_gate,
+                        boundary_gate=args.boundary_gate,
+                        boundary_band=args.boundary_band)
     if args.lr is not None:
         pcfg = pcfg.replace(lr=args.lr)
     paths = (sorted(os.listdir(args.image_dir))

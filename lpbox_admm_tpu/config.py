@@ -232,6 +232,22 @@ class PolicyConfig:
     # sweep): a global gate=0.5 cut max gap 7.4% -> 4.7% but fixes
     # 374 -> 249; the floor recovers the volume.
     damage_rank_floor: float = 0.0
+    # Boundary-distance damage gate for the seg QP (grid problems
+    # only).  The |b|-rank gate above HURTS segmentation (1e4-px A/B,
+    # STATUS r3 item 5): on a grid the high-|b| pixels are the EASY
+    # interior, not the contested tail.  The right grid risk signal is
+    # distance to the current label boundary -- the measured 1e5-px
+    # failure mode is over-fixing (~90-95k px fixed vs the oracle's
+    # 85k), and the energy-costing wrong fixes are contested band
+    # pixels that qp_refine_boundary can then only partially recover.
+    # The confidence margin of every pixel within ``boundary_band``
+    # 8-neighbour hops of a label change in the window-end rounding is
+    # scaled by (1 - boundary_gate): gate=1 never fixes inside the
+    # band (the interior keeps the base confidence, so fix volume --
+    # and the iteration speedup -- is preserved).  Oracle-free: the
+    # boundary is read off the solver's own iterate.
+    boundary_gate: float = 0.0
+    boundary_band: int = 2
     # Two-net ensemble veto (active only when a second checkpoint's
     # variables are passed to the l2f solve): a fix decision by the
     # primary net must not be CONTRADICTED by the veto net -- fix-to-1

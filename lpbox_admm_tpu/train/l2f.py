@@ -113,6 +113,37 @@ def fix_margins(b: jnp.ndarray, var_mask: jnp.ndarray,
     return base * (1.0 - pcfg.damage_gate * rank)
 
 
+def qp_boundary_margins(x: jnp.ndarray, mask: jnp.ndarray,
+                        margins: jnp.ndarray,
+                        pcfg: PolicyConfig) -> jnp.ndarray:
+    """Boundary-distance damage gate for the seg QP (STATUS r4 plan).
+
+    Tightens the per-pixel confidence margin for pixels within
+    ``pcfg.boundary_band`` 8-neighbour hops of a label change in the
+    CURRENT rounding of ``x``:  margin_px *= (1 - boundary_gate) inside
+    the band.  Recomputed every policy window from the live iterate, so
+    the protected band tracks the moving boundary.  See
+    PolicyConfig.boundary_gate for the rationale (over-fixing of
+    contested band pixels is the measured 1e5-px failure mode)."""
+    from ..ops.stencil import OFFSETS, shift as st_shift
+
+    dt = x.dtype
+    maskb = mask.astype(bool)
+    sol = (x >= 0.5).astype(dt) * maskb.astype(dt)
+    differs = jnp.zeros(sol.shape, bool)
+    for dr, dc in OFFSETS:
+        nb = st_shift(sol, dr, dc)
+        inb = st_shift(maskb.astype(dt), dr, dc) > 0.5
+        differs = differs | (inb & (nb != sol))
+    for _ in range(pcfg.boundary_band - 1):
+        wide = differs
+        for dr, dc in OFFSETS:
+            wide = wide | (st_shift(differs.astype(dt), dr, dc) > 0.5)
+        differs = wide & maskb
+    return jnp.where(differs, margins * (1.0 - pcfg.boundary_gate),
+                     margins)
+
+
 def _core_of(problem) -> object:
     if isinstance(problem, LpProblem):
         return lp
@@ -164,6 +195,8 @@ def l2f_solve(prob, model, variables, cfg: SolverConfig,
         sig = policy_scores(model, variables, rows, pcfg, row_chunk)
         sig = sig.reshape((B,) + var_shape)
         m = margins.reshape((B,) + var_shape)
+        if pcfg.boundary_gate > 0 and isinstance(prob, qp.QpProblem):
+            m = qp_boundary_margins(s.x, prob.mask, m, pcfg)
         vec = jnp.where(sig > 1.0 - m, 1.0,
                         jnp.where(sig < m, 0.0, -1.0))
         s = core.apply_fix(s, prob, vec, cfg)
@@ -181,6 +214,8 @@ def _qp_policy_window(state, prob, variables, model, cfg, pcfg, ws,
     rows = traj.reshape(-1, ws)
     sig = policy_scores(model, variables, rows, pcfg, row_chunk)
     sig = sig.reshape(state.x.shape)
+    if pcfg.boundary_gate > 0:
+        margins = qp_boundary_margins(state.x, prob.mask, margins, pcfg)
     vec = jnp.where(sig > 1.0 - margins, 1.0,
                     jnp.where(sig < margins, 0.0, -1.0))
     state = qp.apply_fix(state, prob, vec, cfg)
@@ -296,6 +331,11 @@ def l2f_solve_compact_qp(prob, model, variables, cfg: SolverConfig,
     4. the final state is scattered back into a full-grid ``QpState``,
        so all reporting (qp.select_solution / l2f_metrics_qp) is
        unchanged.
+
+    ``pcfg.boundary_gate`` applies only to the first (grid) window
+    here: the compacted flat problem has no grid structure to read the
+    boundary from.  The masked path (``l2f_solve``, the TPU default)
+    re-applies it every window.
 
     Returns the same full-grid QpState as ``l2f_solve``.
     """

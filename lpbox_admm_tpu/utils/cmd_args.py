@@ -56,4 +56,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "margin with the variable's |b| rank "
                         "(PolicyConfig.damage_gate; 0 = global "
                         "threshold)")
+    p.add_argument("-boundary_gate", type=float, default=0.0,
+                   help="seg-only risk calibration: scale the fix "
+                        "margin by (1-gate) for pixels within "
+                        "-boundary_band hops of the current label "
+                        "boundary (PolicyConfig.boundary_gate; "
+                        "1 = never fix inside the band)")
+    p.add_argument("-boundary_band", type=int, default=2,
+                   help="8-neighbour radius of the protected boundary "
+                        "band (PolicyConfig.boundary_band)")
     return p

@@ -48,6 +48,12 @@ def main():
                          "per-image better selected energy (same "
                          "executable, different weights -- no extra "
                          "compile)")
+    ap.add_argument("--boundary_gate", type=float, default=0.0,
+                    help="seg boundary-distance damage gate: scale the "
+                         "fix margin by (1-gate) within --boundary_band "
+                         "hops of the current label boundary "
+                         "(PolicyConfig.boundary_gate)")
+    ap.add_argument("--boundary_band", type=int, default=2)
     ap.add_argument("--confidence", type=float, default=None,
                     help="override pcfg.fix_confidence (default 0.90, "
                          "the reference's deter_fix_2 C): raising it "
@@ -77,6 +83,9 @@ def main():
                         window_mode="sliding")
     if args.confidence is not None:
         pcfg = pcfg.replace(fix_confidence=args.confidence)
+    if args.boundary_gate > 0:
+        pcfg = pcfg.replace(boundary_gate=args.boundary_gate,
+                            boundary_band=args.boundary_band)
     ids = [int(v) for v in args.images.split(",")]
     by_id = {os.path.splitext(os.path.basename(p))[0]: p
              for p in seg.reference_image_paths()}

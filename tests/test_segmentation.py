@@ -207,6 +207,50 @@ def test_seg_l2f_loop_runs(seg_batch):
     assert set(np.unique(sol)).issubset({0.0, 1.0})
 
 
+def test_boundary_margins_band():
+    """qp_boundary_margins: gate=1 zeroes the margin exactly within
+    ``boundary_band`` 8-neighbour hops of a label change; interior
+    margins are untouched."""
+    H = W = 8
+    x = jnp.zeros((1, H, W), jnp.float32).at[:, :, 4:].set(1.0)
+    mask = jnp.ones((1, H, W), bool)
+    base = jnp.full((1, H, W), 0.1, jnp.float32)
+    pcfg = PolicyConfig(boundary_gate=1.0, boundary_band=2)
+    m = np.asarray(l2f.qp_boundary_margins(x, mask, base, pcfg))
+    # label change between cols 3|4: band-1 flags cols 3,4; the extra
+    # dilation round reaches cols 2 and 5
+    assert (m[0, :, 2:6] == 0.0).all()
+    np.testing.assert_allclose(m[0, :, :2], 0.1, rtol=1e-6)
+    np.testing.assert_allclose(m[0, :, 6:], 0.1, rtol=1e-6)
+    # band=1: only the two columns adjacent to the change
+    m1 = np.asarray(l2f.qp_boundary_margins(
+        x, mask, base, pcfg.replace(boundary_band=1)))
+    assert (m1[0, :, 3:5] == 0.0).all()
+    np.testing.assert_allclose(m1[0, :, 2], 0.1, rtol=1e-6)
+    np.testing.assert_allclose(m1[0, :, 5], 0.1, rtol=1e-6)
+
+
+def test_seg_l2f_boundary_gate(seg_batch):
+    """boundary_gate=1 blocks fixes in the contested band: the gated
+    solve fixes no MORE pixels than the ungated one and stays valid."""
+    prob = seg_batch
+    cfg = SEG_CONFIG
+    model = build_policy("mlp")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 5)),
+                           train=True)
+    fixed = {}
+    for gate in (0.0, 1.0):
+        pcfg = PolicyConfig(net="mlp", node_size=5, chunk_dim=5,
+                            window_mode="sliding", fix_confidence=0.9,
+                            boundary_gate=gate, boundary_band=2)
+        st = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=10,
+                           max_iter=30)
+        sol = np.asarray(qp.solution(st))
+        assert set(np.unique(sol)).issubset({0.0, 1.0})
+        fixed[gate] = int(np.asarray(~st.free & prob.mask).sum())
+    assert fixed[1.0] <= fixed[0.0]
+
+
 def test_qp_rule_fixing_solve(seg_batch):
     """qp.solve(rule_fixing=True): the consistency-counter fixing works
     on the grid core, stays binary, and matches the plain solve's
