@@ -117,6 +117,15 @@ def main():
         ref_iters, ref_rounds, ref_band = 0, 1, 1
         jitter = None
         name = variant
+        vpcfg = pcfg
+        mg = re.search(r"\+bg(\d+)(?:b(\d+))?", variant)
+        if mg:
+            # per-variant boundary gate: +bg50b4 = gate 0.50, band 4
+            # (lets the refine-width portfolio mix gated/ungated runs)
+            vpcfg = pcfg.replace(
+                boundary_gate=int(mg.group(1)) / 100.0,
+                boundary_band=int(mg.group(2) or 2))
+            variant = variant.replace(mg.group(0), "")
         mj = re.search(r"\+j(\d+)", variant)
         if mj:
             # multi-start diversity: SOLVE a 1e-5-jittered copy of the
@@ -143,11 +152,11 @@ def main():
             t0 = time.time()
             if variant == "compact":
                 state = l2f.l2f_solve_compact_qp(
-                    sprob, model, variables, cfg, pcfg, ws=args.ws,
+                    sprob, model, variables, cfg, vpcfg, ws=args.ws,
                     max_iter=args.max_iter)
             else:
                 state = l2f.l2f_solve(sprob, model, variables, cfg,
-                                      pcfg, ws=args.ws,
+                                      vpcfg, ws=args.ws,
                                       max_iter=args.max_iter)
             if ref_iters:
                 state = l2f.qp_refine_boundary(state, sprob, cfg,

@@ -100,6 +100,8 @@ def main():
                   f"agree={agrees.mean():.0f} "
                   f"fixed={np.asarray(m['n_fixed']).mean():.0f}px "
                   f"wall={wall:.1f}s", flush=True)
+            print("  per-image gaps: "
+                  + ",".join(f"{g:+.3f}" for g in gaps), flush=True)
 
 
 if __name__ == "__main__":
