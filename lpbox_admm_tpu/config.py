@@ -246,6 +246,9 @@ class PolicyConfig:
     # band (the interior keeps the base confidence, so fix volume --
     # and the iteration speedup -- is preserved).  Oracle-free: the
     # boundary is read off the solver's own iterate.
+    # boundary_band semantics: 1 = exact boundary pixels only (pixels
+    # whose 8-neighbourhood contains a label change); k > 1 dilates by
+    # k-1 further hops; <= 0 disables the gate entirely (ADVICE r4).
     boundary_gate: float = 0.0
     boundary_band: int = 2
     # Two-net ensemble veto (active only when a second checkpoint's

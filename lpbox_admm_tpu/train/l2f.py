@@ -127,6 +127,8 @@ def qp_boundary_margins(x: jnp.ndarray, mask: jnp.ndarray,
     contested band pixels is the measured 1e5-px failure mode)."""
     from ..ops.stencil import OFFSETS, shift as st_shift
 
+    if pcfg.boundary_band <= 0:      # band 0 = gate disabled (ADVICE r4:
+        return margins               # band 1 is "exact boundary only")
     dt = x.dtype
     maskb = mask.astype(bool)
     sol = (x >= 0.5).astype(dt) * maskb.astype(dt)
@@ -135,6 +137,11 @@ def qp_boundary_margins(x: jnp.ndarray, mask: jnp.ndarray,
         nb = st_shift(sol, dr, dc)
         inb = st_shift(maskb.astype(dt), dr, dc) > 0.5
         differs = differs | (inb & (nb != sol))
+    # restrict to in-mask pixels BEFORE dilating: out-of-mask pixels
+    # (implicit sol=0) would otherwise flag as "boundary" against any
+    # in-mask label-1 neighbour and the dilation would propagate that
+    # back into in-mask pixels with no real label change (ADVICE r4)
+    differs = differs & maskb
     for _ in range(pcfg.boundary_band - 1):
         wide = differs
         for dr, dc in OFFSETS:

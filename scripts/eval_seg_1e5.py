@@ -34,7 +34,14 @@ def main():
     ap.add_argument("--num_nodes", type=int, default=100_000)
     ap.add_argument("--images", default=MY_LIST)
     ap.add_argument("--variants",
-                    default="masked,compact,compact+ref10")
+                    default="masked,compact,compact+ref10",
+                    help="comma list; NOTE: each distinct +bgNNbK "
+                         "gate/band suffix is a different jit-static "
+                         "PolicyConfig, so gated variants each pay one "
+                         "l2f_solve compile (minutes on axon; amortized "
+                         "by the persistent compilation cache) -- the "
+                         "'no extra compile' note on --checkpoint "
+                         "applies to multi-net runs only")
     ap.add_argument("--ws", type=int, default=10)
     ap.add_argument("--max_iter", type=int, default=30)
     ap.add_argument("--repair_sweeps", type=int, default=8)

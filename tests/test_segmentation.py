@@ -228,6 +228,23 @@ def test_boundary_margins_band():
     assert (m1[0, :, 3:5] == 0.0).all()
     np.testing.assert_allclose(m1[0, :, 2], 0.1, rtol=1e-6)
     np.testing.assert_allclose(m1[0, :, 5], 0.1, rtol=1e-6)
+    # band=0 disables the gate entirely (ADVICE r4)
+    m0 = np.asarray(l2f.qp_boundary_margins(
+        x, mask, base, pcfg.replace(boundary_band=0)))
+    np.testing.assert_allclose(m0, 0.1, rtol=1e-6)
+
+
+def test_boundary_margins_mask_edge():
+    """Out-of-mask pixels must not flag as boundary: a uniform label-1
+    region touching the mask edge has NO label change, so no in-mask
+    pixel is gated even with band >= 2 (ADVICE r4 fix)."""
+    H = W = 8
+    x = jnp.ones((1, H, W), jnp.float32)
+    mask = jnp.zeros((1, H, W), bool).at[:, 2:6, 2:6].set(True)
+    base = jnp.full((1, H, W), 0.1, jnp.float32)
+    pcfg = PolicyConfig(boundary_gate=1.0, boundary_band=3)
+    m = np.asarray(l2f.qp_boundary_margins(x, mask, base, pcfg))
+    np.testing.assert_allclose(m, 0.1, rtol=1e-6)
 
 
 def test_seg_l2f_boundary_gate(seg_batch):
