@@ -403,6 +403,17 @@ def phase_labels(args, seeds):
               f"wall {wall:.1f}s -> {out}", flush=True)
 
 
+def gate_margins(b, conf, damage_gate):
+    """Risk-calibrated per-variable margins (train/l2f.fix_margins on
+    host): the 1-C margin tightens with the bid's |b| percentile rank."""
+    n = len(b)
+    margins = np.full((n,), 1.0 - conf, np.float32)
+    if damage_gate > 0:
+        rank = np.argsort(np.argsort(np.abs(b))) / max(n - 1, 1)
+        margins *= (1.0 - damage_gate * rank.astype(np.float32))
+    return margins
+
+
 def phase_transfer(args, seeds):
     score, _ = make_scorer(args.ckpt)
     for seed in seeds:
@@ -412,12 +423,15 @@ def phase_transfer(args, seeds):
         print(f"transfer seed={seed} (oracle obj {obj:.1f}, "
               f"{traj.shape[1]} recorded iters):", flush=True)
         for conf in args.conf_grid:
+            margins = gate_margins(b, conf, args.damage_gate)
             vec, _ = window_decisions(traj, score, args.ws, conf,
                                       args.fix_windows,
-                                      args.policy_windows)
+                                      args.policy_windows,
+                                      margins=margins)
             transfer_report(vec, labels, b, obj,
                             tag=f"C={conf} fw={args.fix_windows} "
-                                f"w={args.policy_windows}")
+                                f"w={args.policy_windows} "
+                                f"dg={args.damage_gate}")
 
 
 def phase_train(args, seeds):
