@@ -298,7 +298,15 @@ def cardinality_repair(model, variables, images, target, epsilon,
     keep = keep * (mag > 0)            # never activate new entries
     G2 = keep.reshape(G.shape).astype(G.dtype)
 
+    # doubled re-finetune (VERDICT r4 item 7): one finetune pass after
+    # a hard cut of up to 40% of the support frequently fails to
+    # re-concentrate the perturbation; a second pass recovers part of
+    # the failing tail at negligible cost (the epsilon SGD is tiny next
+    # to the G alternation)
     eps2 = update_epsilon(model, variables, images, target, epsilon,
+                          G2, noise_weight, cfg, finetune=True,
+                          lambda1=lambda1)
+    eps2 = update_epsilon(model, variables, images, target, eps2,
                           G2, noise_weight, cfg, finetune=True,
                           lambda1=lambda1)
     pred2, _ = predictions(model, variables, images, eps2, G2, cfg)
@@ -371,6 +379,13 @@ def attack_with_search(model, variables, images, target, Bmask,
     lower = np.full((B,), cfg.lambda1_lower_bound, dtype=np.float32)
     best: Dict[str, np.ndarray] = {}
     ever_success = np.zeros((B,), dtype=bool)
+    # with the repair on, the k-budget becomes part of the search
+    # target: prefer (success AND L0 <= k) results, and push lambda1 UP
+    # for images whose successful attack still overshoots the budget
+    # (the per-image lambda1 re-search of VERDICT r4 item 7) -- a
+    # strict quality addition over the reference, which reports the
+    # overshoot as-is (main_mha.py:190-196)
+    ever_within = np.zeros((B,), dtype=bool)
 
     for search in range(cfg.lambda1_search_times):
         res = attack_single(model, variables, images, target, Bmask,
@@ -381,28 +396,42 @@ def attack_with_search(model, variables, images, target, Bmask,
         res = {k: np.asarray(v) for k, v in res.items()}
         res["lambda1"] = lam.copy()
         success = res["success"]
+        within = success & (res["L0"] <= cfg.k) if repair else success
         if log:
             log(f"search {search}: success={int(success.sum())}/{B} "
-                f"lambda1={lam[:4]}")
+                f"within_k={int(within.sum())}/{B} lambda1={lam[:4]}")
         if not best:
             best = {k: v.copy() for k, v in res.items()}
         else:
-            # keep the LAST successful result per image; images that
-            # never succeeded track their latest attempt (the reference
-            # returns results_success_list[-1] if any else the current
+            # keep the LAST successful result per image, except that a
+            # within-budget success is never displaced by an
+            # over-budget one; images that never succeeded track their
+            # latest attempt (the reference returns
+            # results_success_list[-1] if any else the current
             # results, main_mha.py:243-248)
-            upd = success | ~ever_success
+            upd = within | (success & ~ever_within) \
+                | (~ever_success & ~success)
             for k in res:
                 best[k] = np.where(
                     np.reshape(upd, (B,) + (1,) * (res[k].ndim - 1)),
                     res[k], best[k])
         ever_success |= success
+        ever_within |= within
 
         if search == cfg.lambda1_search_times - 1:
             break
         # per-image bound updates (main_mha.py:224-240)
         for i in range(B):
-            if success[i]:
+            if repair and success[i] and res["L0"][i] > cfg.k \
+                    and not ever_within[i]:
+                # successful but over budget: need MORE sparsity --
+                # raise lambda1 (escalate like a failure)
+                lower[i] = max(lower[i], lam[i])
+                if upper[i] < cfg.lambda1_upper_bound:
+                    lam[i] = (upper[i] + lower[i]) / 2
+                else:
+                    lam[i] = lam[i] * 10
+            elif success[i]:
                 if lam[i] < 0.01 * cfg.init_lambda1:
                     continue
                 upper[i] = min(upper[i], lam[i])

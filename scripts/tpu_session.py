@@ -352,6 +352,20 @@ def _run_phase(phases):
              "-checkpoint",
              "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
              "-result_dir", "result_r4"], "attack64_l2f")
+    if "attack100" in phases:
+        # FULL reference image set (100 PNGs; main_mha.py globs all of
+        # data/*) with the budget-aware lambda1 search + doubled
+        # re-finetune repair (VERDICT r4 item 7)
+        run("experiments/run_attack.py",
+            ["-phase", "solve", "-n", "100",
+             "-victim", "checkpoints/cifar_victim.npz",
+             "-result_dir", "result_r5"], "attack100_plain")
+        run("experiments/run_attack.py",
+            ["-phase", "test", "-net", "mha", "-n", "100",
+             "-victim", "checkpoints/cifar_victim.npz",
+             "-checkpoint",
+             "checkpoints/attack_mha/checkpoint/best_checkpoint.npz",
+             "-result_dir", "result_r5"], "attack100_l2f")
     if "struct_direct" in phases:
         # re-measure the struct route with the small-m DIRECT one-hot
         # matvecs (the item block's lane-spread gather was 7 of the
