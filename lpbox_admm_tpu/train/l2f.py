@@ -165,13 +165,23 @@ def _core_of(problem) -> object:
 def l2f_solve(prob, model, variables, cfg: SolverConfig,
               pcfg: PolicyConfig, ws: int = 100,
               max_iter: Optional[int] = None,
-              row_chunk: int = 8192):
+              row_chunk: int = 8192,
+              fix_values: Optional[jnp.ndarray] = None):
     """Windowed solve with the policy fixing variables between windows.
 
     Equivalent of the reference's ``_valid_2`` alternation loop
     (LP trainer.py:516-535) and ``_my_valid`` (Seg trainer.py:707-737),
     dispatching on the problem type (LpProblem -> LP core, QpProblem ->
     grid QP core) with mask-based fixing.
+
+    ``fix_values``: optional oracle-label override (same shape as the
+    solution) -- the policy keeps its SELECTION (which variables are
+    confidently decided) but the fixed VALUE comes from ``fix_values``
+    instead of the sigmoid side.  This is the label-floor experiment
+    (VERDICT r4 item 3): it measures the gap a ZERO-fix-error policy of
+    identical fix volume would deliver under the same iteration budget
+    and reporting protocol, separating label/budget structure from
+    policy error.
     """
     core = _core_of(prob)
     if max_iter is None:
@@ -204,8 +214,12 @@ def l2f_solve(prob, model, variables, cfg: SolverConfig,
         m = margins.reshape((B,) + var_shape)
         if pcfg.boundary_gate > 0 and isinstance(prob, qp.QpProblem):
             m = qp_boundary_margins(s.x, prob.mask, m, pcfg)
-        vec = jnp.where(sig > 1.0 - m, 1.0,
-                        jnp.where(sig < m, 0.0, -1.0))
+        if fix_values is not None:
+            decided = (sig > 1.0 - m) | (sig < m)
+            vec = jnp.where(decided, fix_values, -1.0)
+        else:
+            vec = jnp.where(sig > 1.0 - m, 1.0,
+                            jnp.where(sig < m, 0.0, -1.0))
         s = core.apply_fix(s, prob, vec, cfg)
         return s
 

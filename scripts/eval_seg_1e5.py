@@ -161,6 +161,16 @@ def main():
                 state = l2f.l2f_solve_compact_qp(
                     sprob, model, variables, cfg, vpcfg, ws=args.ws,
                     max_iter=args.max_iter)
+            elif variant == "oraclefloor":
+                # label-floor experiment (VERDICT r4 item 3): the
+                # policy keeps its confident SELECTION, the fixed
+                # VALUES come from the oracle labels -- the gap a
+                # zero-fix-error policy of identical volume would
+                # deliver under this exact budget + protocol
+                state = l2f.l2f_solve(
+                    sprob, model, variables, cfg, vpcfg, ws=args.ws,
+                    max_iter=args.max_iter,
+                    fix_values=labels.astype(np.float32))
             else:
                 state = l2f.l2f_solve(sprob, model, variables, cfg,
                                       vpcfg, ws=args.ws,

@@ -572,3 +572,27 @@ def test_pair_descent_monotone_adjacent_dominoes():
     xp = pair_descent(st, b, mask, x0, sweeps=4)
     e0, ep = en(x0), en(xp)
     assert np.all(ep <= e0 + 1e-5), (e0, ep)
+
+
+def test_seg_l2f_fix_values_override(seg_batch):
+    """The label-floor override (l2f_solve fix_values): the policy
+    keeps its confident selection but every fixed value equals the
+    supplied labels -- zero fix errors by construction."""
+    prob = seg_batch
+    cfg = SEG_CONFIG
+    # low confidence so even the untrained net decides confidently
+    pcfg = PolicyConfig(net="mlp", node_size=5, chunk_dim=5,
+                        window_mode="sliding", fix_confidence=0.55)
+    model = build_policy("mlp")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 5)),
+                           train=True)
+    labels = (jnp.arange(prob.grid[0] * prob.grid[1]).reshape(
+        prob.grid) % 2).astype(jnp.float32)[None]
+    labels = jnp.broadcast_to(labels, (prob.batch,) + prob.grid)
+    state = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=10,
+                          max_iter=30, fix_values=labels)
+    fixed = np.asarray(~state.free & prob.mask)
+    fv = np.asarray(state.fixed_val)
+    lb = np.asarray(labels)
+    assert fixed.sum() > 0, "floor test needs some fixes"
+    np.testing.assert_array_equal(fv[fixed], lb[fixed])
