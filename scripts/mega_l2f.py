@@ -79,8 +79,24 @@ def inst_path(n_items, n_bids, seed):
 
 
 def get_instance(n_items, n_bids, seed):
-    """One cached COO instance (price, (rows, cols, vals, shape))."""
+    """One cached COO instance (price, (rows, cols, vals, shape)).
+
+    ``seed`` forms: 'bench' = the canonical single-instance ladder
+    file; 'bench:K:B' = instance K of the canonical B-batch ladder file
+    (bench_sparse_rung.get_instances -- the <=20k-bid rungs cache dense
+    batches; converted to COO here); an integer = a training instance.
+    """
     os.makedirs(CACHE, exist_ok=True)
+    if seed.startswith("bench:"):
+        _, k, b = seed.split(":")
+        sys.path.insert(0, os.path.join(ROOT, "scripts"))
+        from bench_sparse_rung import get_instances
+        p, C = get_instances(n_items, n_bids, int(b))[int(k)]
+        if isinstance(C, tuple):
+            return (p, C)
+        C = np.asarray(C)
+        r, c = np.nonzero(C)
+        return (p, (r, c, C[r, c].astype(np.float32), C.shape))
     path = inst_path(n_items, n_bids, seed)
     if os.path.exists(path):
         z = np.load(path, allow_pickle=False)
@@ -661,7 +677,8 @@ def phase_l2f(args, seeds, ctx=None):
     orc = None
     opath = os.path.join(CACHE,
                          f"cpu_oracle_{args.n_items}_{args.n_bids}.json")
-    if os.path.exists(opath) and seed == "bench":
+    if os.path.exists(opath) and (seed == "bench"
+                                  or seed.startswith("bench:0:")):
         with open(opath) as f:
             orc = json.load(f)["obj"]
     lpath = ds_path(args.n_items, args.n_bids, seed)
