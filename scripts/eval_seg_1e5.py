@@ -133,6 +133,15 @@ def main():
                 boundary_gate=int(mg.group(1)) / 100.0,
                 boundary_band=int(mg.group(2) or 2))
             variant = variant.replace(mg.group(0), "")
+        mc = re.search(r"\+c(\d+)", variant)
+        if mc:
+            # per-variant fix confidence: +c70 = C 0.70 (lets the
+            # portfolio mix fix VOLUMES -- the floor sweep showed the
+            # zero-error gap improves with volume while the real
+            # policy's errors grow; per-image selection arbitrates)
+            vpcfg = vpcfg.replace(
+                fix_confidence=int(mc.group(1)) / 100.0)
+            variant = variant.replace(mc.group(0), "")
         mj = re.search(r"\+j(\d+)", variant)
         if mj:
             # multi-start diversity: SOLVE a 1e-5-jittered copy of the

@@ -434,8 +434,12 @@ def host_fix_compact(state, prob, inst, row_map, vec, cfg_tail,
         return jnp.asarray(out)
 
     x_red = gn(st["x"])
-    ex = jnp.einsum("bmn,bn->bm", E_dev.astype(jnp.float32), x_red,
-                    preferred_element_type=jnp.float32)
+    # ex = E_red @ x_red from the COO on host: a device einsum would
+    # materialize an f32 copy of E (8 GB at the 1e6 rung)
+    ex_np = np.zeros((1, m_pad), np.float32)
+    ex_np[0, pos] = (Cr @ st["x"][0, free_cols].astype(
+        np.float64)).astype(np.float32)
+    ex = jnp.asarray(ex_np)
     dtf = np.float32
     state_red = lp.LpState(
         x=x_red, y1=gn(st["y1"]), y2=gn(st["y2"]), y3=gm(st["y3"]),
