@@ -27,6 +27,15 @@ sys.path.insert(0, ROOT)
 CACHE = os.path.join(ROOT, "bench_cache")
 
 
+def _write_ladder(path, obj):
+    """Atomic dump: a crash mid-dump must not truncate the table (a
+    failed int64 serialization destroyed the r4 rows once)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=float)
+    os.replace(tmp, path)
+
+
 def get_instances(n_items, n_bids, batch):
     """Generate/cache instances; COO end-to-end above 20k bids (a
     dense C at the reference's 1e5-bid rungs would be ~16 GB)."""
@@ -392,10 +401,10 @@ def main():
                         "inst_per_s": round(args.batch / wall, 4),
                         "mean_obj": round(float(obj.mean()), 1),
                         "infeas_instances": int((infeas > 0).sum()),
-                        "iters": iters if isinstance(iters, int)
-                        else list(np.asarray(iters).reshape(-1)[:8])}
-            with open(lp_path, "w") as f:
-                json.dump(ladder, f, indent=1)
+                        "iters": int(iters) if np.isscalar(iters)
+                        else [int(x) for x in
+                              np.asarray(iters).reshape(-1)[:8]]}
+            _write_ladder(lp_path, ladder)
     except Exception as e:
         print(f"ladder.json update failed: {e}", flush=True)
 

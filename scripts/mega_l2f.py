@@ -70,6 +70,15 @@ CACHE = os.path.join(ROOT, "bench_cache")
 # instance + dataset caching
 # --------------------------------------------------------------------
 
+def _write_ladder(path, obj):
+    """Atomic dump: a crash mid-dump must not truncate the table (a
+    failed int64 serialization destroyed the r4 rows once)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=float)
+    os.replace(tmp, path)
+
+
 def inst_path(n_items, n_bids, seed):
     if seed == "bench":
         # the canonical ladder instance (bench_sparse_rung.get_instances
@@ -795,8 +804,7 @@ def phase_l2f(args, seeds, ctx=None):
                             os.path.dirname(os.path.dirname(args.ckpt))),
                         **({"gap_vs_cpu_oracle": round(out["gap"], 5)}
                            if "gap" in out else {})}
-            with open(lpath2, "w") as f:
-                json.dump(ladder, f, indent=1)
+            _write_ladder(lpath2, ladder)
     return out
 
 
