@@ -698,10 +698,10 @@ def phase_l2f(args, seeds, ctx=None):
     plain = dict(np.load(lpath)) if os.path.exists(lpath) else None
 
     t0 = time.time()
-    if "prob" not in ctx:
-        ctx["prob"], ctx["ginv"], ctx["row_maps"] = build_struct(
-            inst, args.width_cap)
-    prob, ginv, row_maps = ctx["prob"], ctx["ginv"], ctx["row_maps"]
+    pk = ("prob", seed)
+    if pk not in ctx:
+        ctx[pk] = build_struct(inst, args.width_cap)
+    prob, ginv, row_maps = ctx[pk]
     n_valid = int(np.asarray(prob.var_mask).sum())
     build_s = time.time() - t0
     print(f"struct+schur built {build_s:.1f}s (n={n_valid})", flush=True)
@@ -894,7 +894,13 @@ def main():
         for rep in range(args.repeat):
             if rep:
                 args.perturb = (args.perturb or 0) + 1000 + rep
-            phase_l2f(args, seeds, ctx)
+            outs = [phase_l2f(args, [sd], ctx) for sd in seeds]
+            if len(seeds) > 1:
+                objs = [o["obj"] for o in outs]
+                inf = sum(o["infeasible"] > 0 for o in outs)
+                print(f"L2F sweep ({len(seeds)} inst): mean obj "
+                      f"{np.mean(objs):.1f} infeas_instances {inf}",
+                      flush=True)
 
 
 if __name__ == "__main__":
