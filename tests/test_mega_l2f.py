@@ -104,6 +104,34 @@ def test_host_fix_compact_matches_masked_apply_fix(small_inst):
                                rtol=1e-5)
 
 
+def test_reduced_schur_ginv_matches_dense(small_inst):
+    """The Schur-structured reduced inverse (m1_full route) must be
+    numerically the same operator as the dense reduced Cholesky: same
+    post-fix iterates and reported solution."""
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    p, (r, c, v, shape) = small_inst
+    n_valid = len(p)
+    prob_s, ginv_s, row_maps = mega_l2f.build_struct(small_inst,
+                                                     width_cap=12)
+    state_s = lp.init_state(prob_s, cfg, ginv=ginv_s)
+    state_s, _ = lp.solve_window(state_s, prob_s, cfg, 30, record=False,
+                                 skip_cvg_at=0)
+    vec = _fix_vec_from_x(state_s.x, n_valid)
+
+    outs = []
+    for m1_full in (None, prob_s.E.m1):
+        st, pr, carry = mega_l2f.host_fix_compact(
+            state_s, prob_s, small_inst, row_maps[0], vec, cfg,
+            align=128, e_dtype="float32", m1_full=m1_full)
+        st, _ = lp.solve_window(st, pr, cfg, 10, record=False)
+        x = np.asarray(st.x)[0, :len(carry["free_cols"])]
+        outs.append((x, mega_l2f.report_full(st, carry)))
+    (x_d, out_d), (x_s, out_s) = outs
+    np.testing.assert_allclose(x_s, x_d, atol=1e-4)
+    np.testing.assert_allclose(out_s["obj"], out_d["obj"], rtol=1e-6)
+    assert out_s["infeasible"] == out_d["infeasible"]
+
+
 def test_host_fix_compact_second_event(small_inst):
     """A second fix+compact (prior fixes present) keeps the accounting:
     fixed values persist through the snapshot and sum_fix_obj
@@ -139,3 +167,25 @@ def test_host_fix_compact_second_event(small_inst):
         (b[free_cols] * np.clip(vec2_red[:len(free_cols)], 0, 1)
          * newly2).sum())
     np.testing.assert_allclose(sfo2, expect, rtol=1e-5)
+
+
+def test_l2f_solve_struct_library(small_inst):
+    """Package-level orchestrator (train/l2f_struct.l2f_solve_struct):
+    full policy->compact->residual pipeline with a trajectory-derived
+    pseudo-scorer; the reported solution must be feasible and the
+    stage walls populated."""
+    from lpbox_admm_tpu.train import l2f_struct
+    cfg = LP_CONFIG.replace(linsolve="woodbury")
+    prob, ginv, row_maps = mega_l2f.build_struct(small_inst,
+                                                 width_cap=12)
+
+    def score(rows):
+        return jnp.clip(rows[:, -1], 0.0, 1.0)   # last iterate value
+
+    out = l2f_struct.l2f_solve_struct(
+        prob, ginv, small_inst, row_maps[0], score, cfg,
+        conf=0.9, policy_windows=3, ws=30, cap=4000, window=200)
+    assert out["infeasible"] == 0
+    assert out["n_fixed"] > 0
+    assert out["iterations"] > 90
+    assert out["policy_s"] > 0 and out["tail_s"] >= 0
