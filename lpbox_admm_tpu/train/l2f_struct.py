@@ -345,6 +345,28 @@ def report_full(state_red, carry, oracle=None, repair_rounds=0):
 # --------------------------------------------------------------------
 
 
+_WIN = None
+
+
+def _get_win():
+    """Module-level jitted solve window (one trace cache shared by all
+    l2f_solve_struct calls in the process)."""
+    global _WIN
+    if _WIN is None:
+        import functools
+        import jax
+        from ..core import lp
+
+        @functools.partial(jax.jit, static_argnames=("c", "w", "rec",
+                                                     "skip"))
+        def win(s, p, c, w, rec, skip=None):
+            return lp.solve_window(s, p, c, w, record=rec,
+                                   skip_cvg_at=skip)
+
+        _WIN = win
+    return _WIN
+
+
 def l2f_solve_struct(prob, ginv, inst, row_map, score, cfg, *,
                      conf: float = 0.98, fix_windows: int = 2,
                      policy_windows: int = 3, ws: int = 100,
@@ -363,17 +385,11 @@ def l2f_solve_struct(prob, ginv, inst, row_map, score, cfg, *,
     sigmoids (e.g. train/l2f.policy_scores under jit, or the pallas /
     fast scorers).  Returns the ``report_full`` dict plus stage walls.
     """
-    import functools
-    import jax
     from ..core import lp
 
     cfg_tail = cfg if not tail_rho \
         else cfg.replace(rho_change_step=tail_rho)
-
-    @functools.partial(jax.jit, static_argnames=("c", "w", "rec",
-                                                 "skip"))
-    def win(s, p, c, w, rec, skip=None):
-        return lp.solve_window(s, p, c, w, record=rec, skip_cvg_at=skip)
+    win = _get_win()
 
     n_valid = int(np.asarray(prob.var_mask).sum())
     b_h = np.asarray(prob.b)[0, :n_valid]
