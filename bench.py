@@ -401,7 +401,8 @@ def main():
     # mean obj gap vs the plain solve is <= 3% with no infeasibilities
     # (the reference's whole point is l2f beating plain; VERDICT r1)
     if l2f_res is not None:
-        l2f_ips, gap_mean, gap_max, infeas, l2f_objs, _ = l2f_res
+        l2f_ips, gap_mean, gap_max, infeas, l2f_objs, l2f_inf_rows = \
+            l2f_res
         if gap_mean <= 0.03 and infeas == 0:
             best_ips = max(best_ips, l2f_ips)
         else:
@@ -426,7 +427,10 @@ def main():
             if l2f_res0 is not None:
                 p_ips, _, _, _, p_objs, p_inf = l2f_res0
             else:
-                p_ips, p_objs, p_inf = l2f_ips, l2f_objs, None
+                # fall back to the gated run WITH its per-instance
+                # infeasibility rows, so the +inf masking below still
+                # keeps invalid objectives out of the portfolio min
+                p_ips, p_objs, p_inf = l2f_ips, l2f_objs, l2f_inf_rows
             # an infeasible l2f solution's invalid lower objective
             # must never enter the portfolio min (ADVICE r3): mask
             # those instances to the plain side

@@ -425,12 +425,12 @@ def attack_with_search(model, variables, images, target, Bmask,
             if repair and success[i] and res["L0"][i] > cfg.k \
                     and not ever_within[i]:
                 # successful but over budget: need MORE sparsity --
-                # raise lambda1 (escalate like a failure)
+                # escalate lambda1.  (No bisect arm: upper only ever
+                # shrinks on a within-budget success, which sets
+                # ever_within and skips this branch thereafter, so
+                # upper == lambda1_upper_bound whenever we get here.)
                 lower[i] = max(lower[i], lam[i])
-                if upper[i] < cfg.lambda1_upper_bound:
-                    lam[i] = (upper[i] + lower[i]) / 2
-                else:
-                    lam[i] = lam[i] * 10
+                lam[i] = lam[i] * 10
             elif success[i]:
                 if lam[i] < 0.01 * cfg.init_lambda1:
                     continue

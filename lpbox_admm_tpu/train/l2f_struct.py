@@ -90,13 +90,28 @@ def gate_margins(b, conf, damage_gate):
     return margins
 
 
+_SCATTER = None
+
+
 def _scatter_rows(rows, cols, vals, shape, dt):
     """Assemble the reduced dense E ON DEVICE from its COO triplets:
     ~100k-entry upload instead of the 150-300 MB dense tensor through
     the axon tunnel (the make_dense_bf16_problem pattern, adapters/ca).
-    Duplicate-free COO, so .add == .set with zero padding harmless."""
-    import jax.numpy as jnp
-    return jnp.zeros(shape, dt).at[0, rows, cols].add(vals.astype(dt))
+    Duplicate-free COO, so .add == .set with zero padding harmless.
+    Module-level jit (nnz is bucketed so the cache key is stable)."""
+    global _SCATTER
+    if _SCATTER is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("shape", "dt"))
+        def scat(rows, cols, vals, shape, dt):
+            return jnp.zeros(shape, dt).at[0, rows, cols].add(
+                vals.astype(dt))
+
+        _SCATTER = scat
+    return _SCATTER(rows, cols, vals, shape=shape, dt=dt)
 
 
 def host_fix_compact(state, prob, inst, row_map, vec, cfg_tail,
@@ -150,7 +165,7 @@ def host_fix_compact(state, prob, inst, row_map, vec, cfg_tail,
 
     keys = ("x", "y1", "y2", "y3", "z1", "z2", "z4", "free",
             "fixed_val", "sum_fix_obj", "obj_ring", "obj_count",
-            "it", "cur_obj", "best_bin_obj", "best_sol",
+            "it", "done", "cur_obj", "best_bin_obj", "best_sol",
             "x_prev", "fix_count")
     # ONE batched fetch: per-array np.asarray pays an axon tunnel round
     # trip each (measured seconds at the 2e5 rung)
@@ -159,7 +174,9 @@ def host_fix_compact(state, prob, inst, row_map, vec, cfg_tail,
     mark("fetch_s")
     free_old = st["free"][0, :n_valid]
     vecv = vec[:n_valid]
-    newly = free_old & (vecv >= 0.0)
+    # active gate mirrors core apply_fix: a converged instance fixes
+    # nothing further
+    newly = free_old & (vecv >= 0.0) & (not bool(st["done"][0]))
     val = np.clip(vecv, 0.0, 1.0)
     free_new = free_old & ~newly
     # total fixing snapshot: prior fixes (if any) + this event's
@@ -211,7 +228,7 @@ def host_fix_compact(state, prob, inst, row_map, vec, cfg_tail,
     er[:coo_r.nnz] = pos[coo_r.row]
     ec[:coo_r.nnz] = coo_r.col
     ev[:coo_r.nnz] = coo_r.data
-    E_dev = jax.jit(_scatter_rows, static_argnames=("shape", "dt"))(
+    E_dev = _scatter_rows(
         jnp.asarray(er), jnp.asarray(ec), jnp.asarray(ev),
         shape=(1, m_pad, n_pad), dt=edt)
     b_red = np.zeros((1, n_pad), np.float32)
@@ -293,7 +310,7 @@ def host_fix_compact(state, prob, inst, row_map, vec, cfg_tail,
         obj_ring=jnp.asarray(st["obj_ring"].astype(dtf)),
         obj_count=jnp.asarray(st["obj_count"]),
         it=jnp.asarray(np.int32(st["it"])),
-        done=jnp.zeros((1,), bool),
+        done=jnp.asarray(st["done"]),   # sticky, as in core compact
         cg_fail=jnp.zeros((1,), bool),
         cur_obj=jnp.asarray(st["cur_obj"].astype(dtf)),
         best_bin_obj=jnp.asarray(st["best_bin_obj"].astype(dtf)),
@@ -314,7 +331,7 @@ def host_fix_compact(state, prob, inst, row_map, vec, cfg_tail,
     return state_red, prob_red, carry
 
 
-def report_full(state_red, carry, oracle=None, repair_rounds=0):
+def report_full(state_red, carry, oracle=None):
     """Scatter last + incumbent to full width and select on the ORIGINAL
     problem (host COO mirror of core/lp.select_solution, equal
     semantics to the plain ladder rows)."""
@@ -371,7 +388,8 @@ def l2f_solve_struct(prob, ginv, inst, row_map, score, cfg, *,
                      conf: float = 0.98, fix_windows: int = 2,
                      policy_windows: int = 3, ws: int = 100,
                      tail_rho: Optional[int] = 12, cap: int = 20000,
-                     window: int = 500, damage_gate: float = 0.0,
+                     window: Optional[int] = None,
+                     damage_gate: float = 0.0,
                      e_dtype: str = "bfloat16",
                      reduced_ginv: str = "schur",
                      oracle_obj: Optional[float] = None,
@@ -392,17 +410,31 @@ def l2f_solve_struct(prob, ginv, inst, row_map, score, cfg, *,
     win = _get_win()
 
     n_valid = int(np.asarray(prob.var_mask).sum())
+    if window is None:
+        # a 500-iteration window dispatch crashed the TPU worker at
+        # the (2000,1e6)-class shapes (CLAUDE.md hazard); 100 holds
+        window = 100 if prob.n >= 400_000 else 500
     b_h = np.asarray(prob.b)[0, :n_valid]
     margins = gate_margins(b_h, conf, damage_gate)
 
+    import jax
+
+    if timings is None:
+        timings = {}
     t0 = time.time()
     state = lp.init_state(prob, cfg, ginv=ginv)
     streak1 = np.zeros(n_valid, np.int32)
     streak0 = np.zeros(n_valid, np.int32)
     for w in range(policy_windows):
+        t1 = time.time()
         state, traj = win(state, prob, cfg, ws, True,
                           0 if w == 0 else None)
+        jax.block_until_ready(traj)
+        timings["win_s"] = timings.get("win_s", 0.0) + time.time() - t1
+        t1 = time.time()
         sig = np.asarray(score(traj[0, :n_valid, :]))
+        timings["score_s"] = timings.get("score_s", 0.0) \
+            + time.time() - t1
         conf1 = sig > 1.0 - margins
         conf0 = sig < margins
         streak1 = np.where(conf1, streak1 + 1, 0)
@@ -429,5 +461,7 @@ def l2f_solve_struct(prob, ginv, inst, row_map, score, cfg, *,
 
     out = report_full(state_red, carry, oracle=oracle_obj)
     out.update(policy_s=policy_s, compact_s=compact_s, tail_s=tail_s,
-               iterations=it)
+               iterations=it, decided=int((vec >= 0).sum()),
+               n_valid=n_valid, n_red=len(carry["free_cols"]),
+               red_shape=tuple(prob_red.E.shape))
     return out

@@ -247,7 +247,9 @@ def phase_labels(args, seeds):
         traj_h = np.asarray(traj)[0, :n_valid, :].astype(np.float16)
         it = int(np.asarray(state.it))
         while it < args.cap and not bool(np.asarray(state.done).all()):
-            state, _ = win(state, prob, cfg, args.window, False)
+            state, _ = win(state, prob, cfg,
+                           args.window or (100 if prob.n >= 400_000
+                                           else 500), False)
             it = int(np.asarray(state.it))
         sol, obj, infeas = lp.select_solution(
             prob, lp.solution(state), lp.solution_best(state))
@@ -354,30 +356,18 @@ def phase_train(args, seeds):
 
 
 def phase_l2f(args, seeds, ctx=None):
-    import jax
-    import functools
     import jax.numpy as jnp
     from lpbox_admm_tpu.config import LP_CONFIG
-    from lpbox_admm_tpu.core import lp
+    from lpbox_admm_tpu.train.l2f_struct import l2f_solve_struct
 
     if ctx is None:
         ctx = {}
     cfg_pol = LP_CONFIG.replace(linsolve="woodbury")
     if args.rho_step:
         cfg_pol = cfg_pol.replace(rho_change_step=args.rho_step)
-    cfg_tail = cfg_pol.replace(rho_change_step=args.tail_rho) \
-        if args.tail_rho else cfg_pol
     if "score" not in ctx:
         ctx["score"], _ = make_scorer(args.ckpt, args.scorer)
-
-        @functools.partial(jax.jit,
-                           static_argnames=("c", "w", "rec", "skip"))
-        def win(s, p, c, w, rec, skip=None):
-            return lp.solve_window(s, p, c, w, record=rec,
-                                   skip_cvg_at=skip)
-
-        ctx["win"] = win
-    score, win = ctx["score"], ctx["win"]
+    score = ctx["score"]
 
     seed = seeds[0]
     inst = get_instance(args.n_items, args.n_bids, seed)
@@ -396,71 +386,30 @@ def phase_l2f(args, seeds, ctx=None):
     if pk not in ctx:
         ctx[pk] = build_struct(inst, args.width_cap)
     prob, ginv, row_maps = ctx[pk]
-    n_valid = int(np.asarray(prob.var_mask).sum())
     build_s = time.time() - t0
-    print(f"struct+schur built {build_s:.1f}s (n={n_valid})", flush=True)
+    print(f"struct+schur built {build_s:.1f}s", flush=True)
 
     if args.perturb is not None:
         pr = np.random.RandomState(args.perturb)
         noise = 1.0 + 1e-6 * pr.rand(*prob.b.shape).astype(np.float32)
         prob = prob._replace(b=prob.b * jnp.asarray(noise))
 
-    margins = np.full((n_valid,), 1.0 - args.conf, np.float32)
-    if args.damage_gate > 0:
-        b_h = np.asarray(prob.b)[0, :n_valid]
-        rank = np.argsort(np.argsort(np.abs(b_h))) / max(n_valid - 1, 1)
-        margins *= (1.0 - args.damage_gate * rank.astype(np.float32))
-
-    t0 = time.time()
-    state = lp.init_state(prob, cfg_pol, ginv=ginv)
-    streak1 = np.zeros(n_valid, np.int32)
-    streak0 = np.zeros(n_valid, np.int32)
-    ptm = {"win_s": 0.0, "score_s": 0.0}
-    for w in range(args.policy_windows):
-        t1 = time.time()
-        state, traj = win(state, prob, cfg_pol, args.ws, True,
-                          0 if w == 0 else None)
-        import jax as _jax
-        _jax.block_until_ready(traj)
-        ptm["win_s"] += time.time() - t1
-        t1 = time.time()
-        sig = np.asarray(score(traj[0, :n_valid, :]))
-        ptm["score_s"] += time.time() - t1
-        conf1 = sig > 1.0 - margins
-        conf0 = sig < margins
-        streak1 = np.where(conf1, streak1 + 1, 0)
-        streak0 = np.where(conf0, streak0 + 1, 0)
-    vec = np.where(streak1 >= args.fix_windows, 1.0,
-                   np.where(streak0 >= args.fix_windows, 0.0,
-                            -1.0)).astype(np.float32)
-    policy_s = time.time() - t0
-    print(f"policy phase: {args.policy_windows}x{args.ws} iters + "
-          f"scoring in {policy_s:.1f}s "
-          f"{ {k: round(v, 2) for k, v in ptm.items()} }; decided "
-          f"{int((vec >= 0).sum())}/{n_valid}", flush=True)
-
-    t0 = time.time()
-    ctm = {}
-    state_red, prob_red, carry = host_fix_compact(
-        state, prob, inst, row_maps[0], vec, cfg_tail,
-        e_dtype=args.e_dtype,
-        m1_full=prob.E.m1 if args.reduced_ginv == "schur" else None,
-        timings=ctm)
-    compact_s = time.time() - t0
-    print(f"fix+compact: n {n_valid}->{len(carry['free_cols'])} "
-          f"m {inst[1][3][0]}->{np.asarray(prob_red.row_mask).sum()} "
-          f"(padded {prob_red.E.shape}) in {compact_s:.1f}s "
-          f"{ {k: round(v, 2) for k, v in ctm.items()} }", flush=True)
-
-    t0 = time.time()
-    it = int(np.asarray(state_red.it))
-    while it < args.cap and not bool(np.asarray(state_red.done).all()):
-        state_red, _ = win(state_red, prob_red, cfg_tail, args.window,
-                           False)
-        it = int(np.asarray(state_red.it))
-    tail_s = time.time() - t0
-    out = report_full(state_red, carry, oracle=orc)
+    tm = {}
+    out = l2f_solve_struct(
+        prob, ginv, inst, row_maps[0], score, cfg_pol,
+        conf=args.conf, fix_windows=args.fix_windows,
+        policy_windows=args.policy_windows, ws=args.ws,
+        tail_rho=args.tail_rho or None, cap=args.cap,
+        window=args.window, damage_gate=args.damage_gate,
+        e_dtype=args.e_dtype, reduced_ginv=args.reduced_ginv,
+        oracle_obj=orc, timings=tm)
+    policy_s, compact_s, tail_s = (out["policy_s"], out["compact_s"],
+                                   out["tail_s"])
     total = policy_s + compact_s + tail_s
+    print(f"  stages: n {out['n_valid']}->{out['n_red']} "
+          f"(padded {out['red_shape']}), decided {out['decided']}, "
+          f"timings { {k: round(v, 2) for k, v in tm.items()} }",
+          flush=True)
     gap = f" gap {out['gap']:+.2%}" if "gap" in out else ""
     pgap = ""
     if plain is not None:
@@ -469,7 +418,8 @@ def phase_l2f(args, seeds, ctx=None):
     print(f"L2F {args.n_items}x{args.n_bids} seed={seed}: "
           f"wall {total:.1f}s (policy {policy_s:.1f} + compact "
           f"{compact_s:.1f} + tail {tail_s:.1f}; struct build "
-          f"{build_s:.1f}s extra) it {it} obj {out['obj']:.1f}{gap} "
+          f"{build_s:.1f}s extra) it {out['iterations']} "
+          f"obj {out['obj']:.1f}{gap} "
           f"infeas {out['infeasible']} fixed {out['n_fixed']}{pgap}",
           flush=True)
     if seed == "bench":
@@ -491,9 +441,11 @@ def phase_l2f(args, seeds, ctx=None):
                         "compact_s": round(compact_s, 2),
                         "tail_s": round(tail_s, 2),
                         "struct_build_s": round(build_s, 2),
-                        "iters": it, "obj": round(out["obj"], 1),
+                        "iters": out["iterations"],
+                        "obj": round(out["obj"], 1),
                         "infeas_rows": out["infeasible"],
                         "n_fixed": out["n_fixed"],
+                        "policy_windows": args.policy_windows,
                         "ckpt": os.path.basename(
                             os.path.dirname(os.path.dirname(args.ckpt))),
                         **({"gap_vs_cpu_oracle": round(out["gap"], 5)}
@@ -512,7 +464,10 @@ def main():
     ap.add_argument("--record", type=int, default=500,
                     help="recorded iterations (labels phase)")
     ap.add_argument("--cap", type=int, default=20000)
-    ap.add_argument("--window", type=int, default=500)
+    ap.add_argument("--window", type=int, default=None,
+                    help="residual window iterations (default: "
+                         "adaptive -- 100 at n>=4e5 where a 500-iter "
+                         "dispatch crashed the TPU worker, else 500)")
     ap.add_argument("--rho-step", type=int, default=None,
                     help="policy/labels phase rho_change_step "
                          "(default: reference 25)")
