@@ -220,6 +220,18 @@ def host_fix_compact(state, prob, inst, row_map, vec, cfg_tail,
     m_v, n_v = Cr.shape
     n_pad = rup(n_v)
     edt = jnp.bfloat16 if e_dtype == "bfloat16" else jnp.float32
+    e_bytes = m_pad * n_pad * (2 if edt == jnp.bfloat16 else 4)
+    if e_bytes > 7e9:
+        # the reduced dense form must fit HBM next to the full struct
+        # problem (measured OOM: a low-fix-volume policy at the 1e6
+        # rung left n_red ~ 1.3e5 -> a ~10 GB E).  Fail with the
+        # remedy instead of a ResourceExhausted mid-upload.
+        raise ValueError(
+            f"reduced dense E would be {e_bytes/1e9:.1f} GB "
+            f"({m_pad}x{n_pad}); the policy fixed too few variables "
+            f"for the dense residual form -- raise fix volume (more "
+            f"policy windows / lower confidence) or continue masked "
+            f"on the struct problem")
     coo_r = Cr.tocoo()
     nnz_pad = -(-coo_r.nnz // 16384) * 16384     # bucket the compile
     er = np.zeros(nnz_pad, np.int32)
