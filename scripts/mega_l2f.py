@@ -173,6 +173,15 @@ def make_scorer(ckpt, which="auto"):
     variables = trainer.variables(ts)
 
     def build(kind):
+        if kind == "traj":
+            # policy-free trajectory threshold: the window's last
+            # iterate as a pseudo-sigmoid (vars pinned near 0/1 for
+            # fix_windows consecutive windows get fixed).  A principled
+            # form of the reference's consistency counters -- extremity
+            # + cross-window streaks instead of movement counters
+            # (which over-fix infeasibly at mega scale, STATUS r4 8c)
+            import jax.numpy as jnp
+            return jax.jit(lambda rows: jnp.clip(rows[:, -1], 0.0, 1.0))
         if kind == "pallas":
             from lpbox_admm_tpu.models.pallas_policy import \
                 policy_scores_pallas
@@ -487,7 +496,8 @@ def main():
     ap.add_argument("--e-dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--scorer", default="auto",
-                    choices=["auto", "pallas", "fast", "model"])
+                    choices=["auto", "pallas", "fast", "model",
+                             "traj"])
     ap.add_argument("--reduced-ginv", default="schur",
                     choices=["schur", "dense"],
                     help="reduced-problem G^-1 form: 'schur' keeps the "
