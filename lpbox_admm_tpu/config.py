@@ -251,6 +251,26 @@ class PolicyConfig:
     # k-1 further hops; <= 0 disables the gate entirely (ADVICE r4).
     boundary_gate: float = 0.0
     boundary_band: int = 2
+    # Trajectory-extremity fixing for the seg QP (grid problems only;
+    # diagnostic scripts/diag_seg_traj.py).  At each fix event,
+    # ADDITIONALLY fix every pixel whose current iterate sits further
+    # than ``traj_fix_thr`` from 0.5 -- to round(x), not to the
+    # sigmoid.  Rationale: the seg QP has NO hard constraints, so a
+    # fixed pixel can never break feasibility; on the unconstrained
+    # grid the iterate's extremity is a near-zero-error HIGH-VOLUME
+    # signal (at 1e5 px, |x@20 - 0.5| > 0.3 selects ~87k px/img at
+    # ~5 wrong values vs the sigmoid's ~154 errors at that volume) --
+    # exactly the ">=87k fixes at near-zero error" the measured
+    # oracle-label floor (+2.42% @ 86.9k zero-error fixes, STATUS r5
+    # item 6b) says the <=3% target requires.  This does NOT transfer
+    # to the LP rungs: there, trajectory-threshold fixing measured
+    # 148-269 violated packing rows (STATUS r5 item 4e) and the
+    # learned net's feasibility-aware confidence is load-bearing.
+    # 0 = off (reference behaviour).  ``traj_fix_only`` additionally
+    # IGNORES the net's sigmoid (pure trajectory fixing -- the
+    # ablation arm separating the net's contribution).
+    traj_fix_thr: float = 0.0
+    traj_fix_only: bool = False
     # Two-net ensemble veto (active only when a second checkpoint's
     # variables are passed to the l2f solve): a fix decision by the
     # primary net must not be CONTRADICTED by the veto net -- fix-to-1

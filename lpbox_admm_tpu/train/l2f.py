@@ -220,6 +220,18 @@ def l2f_solve(prob, model, variables, cfg: SolverConfig,
         else:
             vec = jnp.where(sig > 1.0 - m, 1.0,
                             jnp.where(sig < m, 0.0, -1.0))
+        if pcfg.traj_fix_thr > 0 and isinstance(prob, qp.QpProblem):
+            # trajectory-extremity fixing (PolicyConfig.traj_fix_thr):
+            # on the unconstrained grid QP the iterate's extremity is a
+            # near-zero-error high-volume fix signal; values come from
+            # round(x), not the sigmoid.  Never applied to LP problems
+            # (feasibility-unsound there, STATUS r5 item 4e).
+            ext = (jnp.abs(s.x - 0.5) > pcfg.traj_fix_thr) & prob.mask
+            xval = (s.x > 0.5).astype(s.x.dtype)
+            if pcfg.traj_fix_only:
+                vec = jnp.where(ext, xval, -1.0)
+            else:
+                vec = jnp.where((vec < 0) & ext, xval, vec)
         s = core.apply_fix(s, prob, vec, cfg)
         return s
 

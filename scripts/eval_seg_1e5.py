@@ -142,6 +142,16 @@ def main():
             vpcfg = vpcfg.replace(
                 fix_confidence=int(mc.group(1)) / 100.0)
             variant = variant.replace(mc.group(0), "")
+        mt = re.search(r"\+t(x?)(\d+)", variant)
+        if mt:
+            # per-variant trajectory-extremity fixing: +t30 = also fix
+            # |x-0.5| > 0.30 to round(x); +tx30 = extremity ONLY (the
+            # net's sigmoid ignored -- ablation arm).  See
+            # PolicyConfig.traj_fix_thr / scripts/diag_seg_traj.py.
+            vpcfg = vpcfg.replace(
+                traj_fix_thr=int(mt.group(2)) / 100.0,
+                traj_fix_only=bool(mt.group(1)))
+            variant = variant.replace(mt.group(0), "")
         mj = re.search(r"\+j(\d+)", variant)
         if mj:
             # multi-start diversity: SOLVE a 1e-5-jittered copy of the

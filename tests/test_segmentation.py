@@ -268,6 +268,42 @@ def test_seg_l2f_boundary_gate(seg_batch):
     assert fixed[1.0] <= fixed[0.0]
 
 
+def test_seg_l2f_traj_fix(seg_batch):
+    """PolicyConfig.traj_fix_thr: extremity fixing fixes MORE pixels
+    than the (untrained-net) sigmoid alone, the fixed values equal the
+    rounded iterate at the fix event for pixels the net did not decide,
+    and traj_fix_only ignores the net entirely (fires even at an
+    impossible sigmoid confidence)."""
+    prob = seg_batch
+    cfg = SEG_CONFIG
+    model = build_policy("mlp")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 5)),
+                           train=True)
+    pcfg0 = PolicyConfig(net="mlp", node_size=5, chunk_dim=5,
+                         window_mode="sliding", fix_confidence=0.9)
+    fixed = {}
+    for thr in (0.0, 0.45):
+        pcfg = pcfg0.replace(traj_fix_thr=thr)
+        st = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=10,
+                           max_iter=30)
+        sol = np.asarray(qp.solution(st))
+        assert set(np.unique(sol)).issubset({0.0, 1.0})
+        # fixed values are binary and inside the mask
+        fv = np.asarray(st.fixed_val)
+        fx = np.asarray(~st.free & prob.mask)
+        assert np.all(np.isin(fv[fx], [0.0, 1.0]))
+        fixed[thr] = int(fx.sum())
+    assert fixed[0.45] >= fixed[0.0]
+
+    # traj_fix_only at confidence 1.0 (sigmoid can never clear the
+    # bar): only the extremity path can fix, and it does
+    pcfg = pcfg0.replace(fix_confidence=1.0, traj_fix_thr=0.45,
+                         traj_fix_only=True)
+    st = l2f.l2f_solve(prob, model, variables, cfg, pcfg, ws=10,
+                       max_iter=30)
+    assert int(np.asarray(~st.free & prob.mask).sum()) > 0
+
+
 def test_qp_rule_fixing_solve(seg_batch):
     """qp.solve(rule_fixing=True): the consistency-counter fixing works
     on the grid core, stays binary, and matches the plain solve's
