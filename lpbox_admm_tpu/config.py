@@ -271,6 +271,13 @@ class PolicyConfig:
     # ablation arm separating the net's contribution).
     traj_fix_thr: float = 0.0
     traj_fix_only: bool = False
+    # Limit extremity fixing to the first k fix events (0 = every
+    # event).  The window-1 trajectory is IDENTICAL to the plain
+    # trajectory the extremity signal was validated on; later windows
+    # run on the fixing-perturbed residual, where extremity
+    # accumulation measured over-fixing (97k px at 1e5, worse than the
+    # policy row) -- k=1 keeps the validated ~84k-px selection.
+    traj_fix_windows: int = 0
     # Two-net ensemble veto (active only when a second checkpoint's
     # variables are passed to the l2f solve): a fix decision by the
     # primary net must not be CONTRADICTED by the veto net -- fix-to-1

@@ -227,6 +227,9 @@ def l2f_solve(prob, model, variables, cfg: SolverConfig,
             # round(x), not the sigmoid.  Never applied to LP problems
             # (feasibility-unsound there, STATUS r5 item 4e).
             ext = (jnp.abs(s.x - 0.5) > pcfg.traj_fix_thr) & prob.mask
+            if pcfg.traj_fix_windows > 0:
+                # first fix event happens at it == ws
+                ext = ext & (s.it <= pcfg.traj_fix_windows * ws)
             xval = (s.x > 0.5).astype(s.x.dtype)
             if pcfg.traj_fix_only:
                 vec = jnp.where(ext, xval, -1.0)
@@ -549,6 +552,8 @@ def l2f_metrics_qp(state: qp.QpState, prob: qp.QpProblem,
             ((labels == 0) & (sol == 1)) & prob.mask, axis=(-2, -1))
         out["px_agree"] = jnp.sum((sol == labels) & prob.mask,
                                   axis=(-2, -1))
+        out["fix_errors"] = jnp.sum(fixed & (state.fixed_val != labels),
+                                    axis=(-2, -1))
     return out
 
 

@@ -142,15 +142,18 @@ def main():
             vpcfg = vpcfg.replace(
                 fix_confidence=int(mc.group(1)) / 100.0)
             variant = variant.replace(mc.group(0), "")
-        mt = re.search(r"\+t(x?)(\d+)", variant)
+        mt = re.search(r"\+t(x?)(\d+)(?:w(\d+))?", variant)
         if mt:
             # per-variant trajectory-extremity fixing: +t30 = also fix
             # |x-0.5| > 0.30 to round(x); +tx30 = extremity ONLY (the
-            # net's sigmoid ignored -- ablation arm).  See
+            # net's sigmoid ignored -- ablation arm); +tx30w1 = only at
+            # the FIRST fix event (the window whose trajectory equals
+            # the validated plain trajectory).  See
             # PolicyConfig.traj_fix_thr / scripts/diag_seg_traj.py.
             vpcfg = vpcfg.replace(
                 traj_fix_thr=int(mt.group(2)) / 100.0,
-                traj_fix_only=bool(mt.group(1)))
+                traj_fix_only=bool(mt.group(1)),
+                traj_fix_windows=int(mt.group(3) or 0))
             variant = variant.replace(mt.group(0), "")
         mj = re.search(r"\+j(\d+)", variant)
         if mj:
@@ -210,6 +213,7 @@ def main():
             print(f"{name}[{tag}]: gap={gaps.mean():+.4f} "
                   f"agree={agrees.mean():.0f} "
                   f"fixed={np.asarray(m['n_fixed']).mean():.0f}px "
+                  f"fixerr={np.asarray(m['fix_errors']).mean():.1f} "
                   f"it={int(m['iterations'])} wall={wall:.2f}s",
                   flush=True)
         if len(per_net) > 1:

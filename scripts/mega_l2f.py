@@ -153,22 +153,27 @@ def build_struct(inst, width_cap=12):
 # policy scoring helpers (host-driven streaks, device scoring)
 # --------------------------------------------------------------------
 
-def make_scorer(ckpt, which="auto"):
+def make_scorer(ckpt, which="auto", ws=100):
     """Load a chunk-mode MHA policy checkpoint -> (jitted scorer, pcfg).
 
     ``which``: 'pallas' (fused VMEM forward), 'fast' (transposed XLA),
     'model' (flax apply), or 'auto' = try in that order at first call
     (mirrors train/l2f.l2f_solve_compact's scorer plan; the axon remote
-    Mosaic helper fails transiently)."""
+    Mosaic helper fails transiently).
+
+    ``ws`` sets node_size = ws // chunk_dim (chunk-mode tokens); a net
+    trained at one ws cannot score another (the Net2 head's input width
+    is node_size * 128 -- train a ws-specific checkpoint with
+    --phase train --ws N)."""
     import jax
     from lpbox_admm_tpu.config import LP_CONFIG, PolicyConfig
     from lpbox_admm_tpu.models.policy import build_policy
     from lpbox_admm_tpu.train import l2f
     from lpbox_admm_tpu.train.imitation import PolicyTrainer
 
-    pcfg = PolicyConfig(net="mha")
+    pcfg = PolicyConfig(net="mha", node_size=ws // 5)
     model = build_policy("mha")
-    trainer = PolicyTrainer(model, pcfg, LP_CONFIG, ws=100)
+    trainer = PolicyTrainer(model, pcfg, LP_CONFIG, ws=ws)
     ts = trainer.load(ckpt)
     variables = trainer.variables(ts)
 
@@ -275,7 +280,7 @@ def phase_labels(args, seeds):
 
 
 def phase_transfer(args, seeds):
-    score, _ = make_scorer(args.ckpt, args.scorer)
+    score, _ = make_scorer(args.ckpt, args.scorer, ws=args.ws)
     for seed in seeds:
         z = np.load(ds_path(args.n_items, args.n_bids, seed))
         traj = z["traj"].astype(np.float32)
@@ -305,7 +310,8 @@ def phase_train(args, seeds):
 
     holdout = args.holdout
     train_seeds = [s for s in seeds if s != holdout]
-    pcfg = PolicyConfig(net="mha", lr=args.lr)
+    pcfg = PolicyConfig(net="mha", lr=args.lr,
+                        node_size=args.ws // 5)
     model = build_policy("mha")
     trainer = PolicyTrainer(model, pcfg, LP_CONFIG, ws=args.ws,
                             save_dir=args.save_dir)
@@ -375,7 +381,8 @@ def phase_l2f(args, seeds, ctx=None):
     if args.rho_step:
         cfg_pol = cfg_pol.replace(rho_change_step=args.rho_step)
     if "score" not in ctx:
-        ctx["score"], _ = make_scorer(args.ckpt, args.scorer)
+        ctx["score"], _ = make_scorer(args.ckpt, args.scorer,
+                                      ws=args.ws)
     score = ctx["score"]
 
     seed = seeds[0]
